@@ -1,0 +1,266 @@
+"""Join operators — ordered dedup, tool pairing, as-of attaches, fuzzy
+verdict attach.
+
+Rebuilds SURVEY.md §2.5:
+
+  J1  first-capture-wins ordered dedup — ``row_number`` over
+      (hash, capture order), NOT ``dropDuplicates`` (which is
+      order-nondeterministic across shuffles; tapes deriver.go:335-350
+      mirrors ``ON CONFLICT DO NOTHING`` in capture order).
+  J2  tool_use <-> tool_result pairing — each result attaches to the most
+      recent preceding call with the same (conv_id, tool); each call keeps
+      its FIRST result; error flag -> status; duration = result_ts -
+      call_ts (tapes spans.go:632-652, 1132-1134).
+  J4/J5  as-of attaches (web summary -> preceding WebFetch/WebSearch;
+      plan -> preceding ExitPlanMode) — ``last(...) over rows unbounded
+      preceding`` recency joins (tapes attach.go:114-177).
+  J3  verdict fuzzy attach — grouped-map pandas fold per conv_id with
+      consume-once semantics (tapes attach.go:38-274); the one-to-one
+      consumption is inherently sequential per session, exactly the case
+      grouped-map ``applyInPandas`` exists for.
+
+Scale notes: every window here partitions by conv_id (+tool), so the only
+shuffle is the hash partition on conv_id that the whole pipeline already
+shares.  Skewed giant conversations are bounded by the window being a
+single linear scan per partition group (no O(n^2)).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def is_tool_call(df_cols=None):
+    return (F.col("role") == "assistant") & (F.col("tool") != "")
+
+
+def with_first_capture(df: DataFrame, content_col: str = "text_norm") -> DataFrame:
+    """J1: flag the first capture of each normalized-content hash per conv.
+
+    Deterministic: ordered by turn_idx within (conv_id, content_hash).
+    """
+    content_hash = F.sha2(F.col(content_col), 256)
+    w = Window.partitionBy("conv_id", content_hash).orderBy("turn_idx")
+    return df.withColumn(
+        "is_first_capture", F.row_number().over(w) == 1
+    ).withColumn("content_hash", content_hash)
+
+
+def pair_tool_calls(df: DataFrame) -> DataFrame:
+    """J2: one row per tool CALL with its first result (if any).
+
+    Returns columns: conv_id, turn_idx (call), tool, call_ts, call_text,
+    result_turn_idx, result_ts, result_text, is_error, duration_ms.
+    """
+    w = (
+        Window.partitionBy("conv_id", "tool")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    call = is_tool_call()
+    marked = (
+        df.filter((F.col("tool") != "") & (call | (F.col("role") == "tool")))
+        .withColumn(
+            "call_turn_idx", F.last(F.when(call, F.col("turn_idx")), True).over(w)
+        )
+    )
+    results = marked.filter(
+        (F.col("role") == "tool") & F.col("call_turn_idx").isNotNull()
+    )
+    # first result per call wins (min turn_idx)
+    rw = Window.partitionBy("conv_id", "tool", "call_turn_idx").orderBy("turn_idx")
+    first_results = (
+        results.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_id",
+            "tool",
+            "call_turn_idx",
+            F.col("turn_idx").alias("result_turn_idx"),
+            F.col("ts").alias("result_ts"),
+            F.col("text").alias("result_text"),
+        )
+    )
+    calls = df.filter(call).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.col("ts").alias("call_ts"),
+        F.col("text").alias("call_text"),
+    )
+    # rename the right side's keys to avoid a self-join ambiguity (both
+    # frames descend from the same scan)
+    fr = first_results.select(
+        F.col("conv_id").alias("r_conv_id"),
+        F.col("tool").alias("r_tool"),
+        "call_turn_idx",
+        "result_turn_idx",
+        "result_ts",
+        "result_text",
+    )
+    paired = calls.join(
+        fr,
+        on=[
+            calls["conv_id"] == fr["r_conv_id"],
+            calls["tool"] == fr["r_tool"],
+            calls["turn_idx"] == fr["call_turn_idx"],
+        ],
+        how="left",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "call_ts",
+        "call_text",
+        "result_turn_idx",
+        "result_ts",
+        "result_text",
+    )
+    return (
+        paired.withColumn(
+            "is_error",
+            F.coalesce(F.col("result_text").startswith("error:"), F.lit(False)),
+        )
+        .withColumn(
+            "duration_ms",
+            (
+                F.col("result_ts").cast("double") - F.col("call_ts").cast("double")
+            ).cast("double")
+            * 1000.0,
+        )
+    )
+
+
+def attach_asof(
+    df: DataFrame, attacher_kind: str, target_tools: list[str]
+) -> DataFrame:
+    """J4/J5: attach each *attacher_kind* turn to the most recent preceding
+    tool call whose tool is in *target_tools* (recency heuristic,
+    attach.go:151-177).  Consume-once: each target keeps its first attacher.
+
+    Returns: conv_id, attacher_turn_idx, target_turn_idx, target_tool.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_target = is_tool_call() & F.col("tool").isin(target_tools)
+    marked = df.withColumn(
+        "target_turn_idx", F.last(F.when(is_target, F.col("turn_idx")), True).over(w)
+    ).withColumn(
+        "target_tool", F.last(F.when(is_target, F.col("tool")), True).over(w)
+    )
+    attachers = marked.filter(
+        (F.col("call_kind") == attacher_kind) & F.col("target_turn_idx").isNotNull()
+    )
+    cw = Window.partitionBy("conv_id", "target_turn_idx").orderBy("turn_idx")
+    return (
+        attachers.withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("attacher_turn_idx"),
+            "target_turn_idx",
+            "target_tool",
+        )
+    )
+
+
+# --- J3: fuzzy verdict attach (grouped-map pandas fold) -------------------
+
+_VERDICT_ATTACH_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("check_turn_idx", IntegerType()),
+        StructField("tool_turn_idx", IntegerType()),
+        StructField("disposition", StringType()),
+    ]
+)
+
+_OVERLAP_LEN = 22  # reference attach.go matches by 22-char substring overlap
+
+
+def _normalize_action(s: str) -> str:
+    # attach.go:291-296 normalizeAction: lower + whitespace collapse
+    return " ".join(s.lower().split())
+
+
+def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation sequential consume-once matcher.
+
+    Each check turn's judged action (the ``<transcript>`` body of its
+    preceding user turn) is matched to an unconsumed tool call by
+    normalized 22-char substring overlap in either direction
+    (attach.go:238-274); every candidate is consumed exactly once.
+    """
+    pdf = pdf.sort_values("turn_idx")
+    rows = pdf.to_dict("records")
+    tool_calls: list[dict] = []  # unconsumed candidates, in order
+    out: list[tuple] = []
+    last_transcript: str | None = None
+    for r in rows:
+        if r["role"] == "assistant" and r["tool"]:
+            key = _normalize_action(str(r["text"]))
+            tool_calls.append({"turn_idx": r["turn_idx"], "key": key})
+        if r["role"] == "user" and "<transcript>" in str(r["text"]):
+            body = str(r["text"])
+            start = body.find("<transcript>") + len("<transcript>")
+            end = body.find("</transcript>", start)
+            last_transcript = _normalize_action(
+                body[start:end] if end != -1 else body[start:]
+            )
+        if r["call_kind"] == "check":
+            action = last_transcript
+            matched_idx = None
+            if action:
+                probe = action[:_OVERLAP_LEN]
+                for i, cand in enumerate(tool_calls):
+                    ck = cand["key"]
+                    if (probe and probe in ck) or (
+                        ck[:_OVERLAP_LEN] and ck[:_OVERLAP_LEN] in action
+                    ):
+                        matched_idx = i
+                        break
+            if matched_idx is not None:
+                cand = tool_calls.pop(matched_idx)  # consume exactly once
+                out.append(
+                    (
+                        r["conv_id"],
+                        r["turn_idx"],
+                        cand["turn_idx"],
+                        r.get("verdict_disposition"),
+                    )
+                )
+            else:
+                out.append(
+                    (r["conv_id"], r["turn_idx"], None, r.get("verdict_disposition"))
+                )
+    return pd.DataFrame(
+        out, columns=["conv_id", "check_turn_idx", "tool_turn_idx", "disposition"]
+    )
+
+
+def attach_verdicts(df: DataFrame) -> DataFrame:
+    """J3 entry: grouped-map fold per conv_id (applyInPandas).
+
+    Only conversations that actually contain a check turn are shipped to
+    Python — the semi-join filter keeps the Arrow transfer proportional to
+    the (rare) permission-check traffic, not the whole table.
+    """
+    has_check = df.filter(F.col("call_kind") == "check").select("conv_id").distinct()
+    narrow = df.join(has_check, "conv_id", "left_semi").select(
+        "conv_id", "turn_idx", "role", "tool", "text", "call_kind",
+        "verdict_disposition",
+    )
+    return narrow.groupBy("conv_id").applyInPandas(
+        _attach_verdicts_pdf, schema=_VERDICT_ATTACH_SCHEMA
+    )

@@ -1,0 +1,86 @@
+"""Parse stage — vectorized feature extraction from turn text.
+
+Rebuilds the reference's request/response parsing surface (SURVEY.md §2.2)
+for the transcripts input shape: turns arrive pre-reduced as ``text`` with
+embedded markers, so parsing is pure ``regexp_extract`` / ``get_json_object``
+column work — JVM-side, inside whole-stage codegen, no Python in the hot
+path.
+
+Extracted features (all nullable columns added to the frame):
+  model          — model marker, then N6-normalized join key ``model_norm``
+  input_tokens / output_tokens / cache_read_tokens / cache_write_tokens
+                 — usage marker (mirrors tapes' usage JSONB,
+                   pkg/llm/response.go:40-61)
+  stop_reason    — stop marker (pkg/merkle/node.go:60)
+  verdict_*      — ``<block>yes|no`` verdict extraction
+                   (pkg/derive/verdict.go:14-57, regex at :22)
+  error_signature— normalized error head from failing tool results
+  is_git_activity— Bash tool_use containing git commit/push
+                   (pkg/sessions/content.go:82-106)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tapes_spark.functions.normalize import normalize_model_col
+
+# model names may themselves carry a "[1m]" marker (normalized away by N6),
+# so the capture allows one bracketed suffix before the closing bracket
+MODEL_RE = r"\[model: ([^\[\]]+(?:\[1m\])?)\]"
+USAGE_RE = (
+    r"\[usage: in=(\d+) out=(\d+) cache_read=(\d+) cache_write=(\d+)\]"
+)
+STOP_RE = r"\[stop_reason: ([a-z_]+)\]"
+# reference blockVerdictPattern: (?i)<block>\s*(yes|no)  (verdict.go:22)
+VERDICT_RE = r"(?i)<block>\s*(yes|no)"
+# error signature: the error head up to the first ':'-terminated clause
+ERROR_HEAD_RE = r"^error: ([a-z][a-z0-9 _-]*)"
+GIT_ACTIVITY_RE = r"git (commit|push)"
+
+
+def _extract_long(c: Column, pattern: str, group: int) -> Column:
+    s = F.regexp_extract(c, pattern, group)
+    return F.when(s == "", None).otherwise(s.cast("long"))
+
+
+def with_parsed_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add all parse-stage feature columns. Pure native expressions."""
+    t = F.col(text_col)
+    model = F.regexp_extract(t, MODEL_RE, 1)
+    verdict = F.lower(F.regexp_extract(t, VERDICT_RE, 1))
+    err = F.regexp_extract(t, ERROR_HEAD_RE, 1)
+    return (
+        df.withColumn("model", F.when(model == "", None).otherwise(model))
+        .withColumn(
+            "model_norm",
+            F.when(model == "", None).otherwise(normalize_model_col(model)),
+        )
+        .withColumn("input_tokens", _extract_long(t, USAGE_RE, 1))
+        .withColumn("output_tokens", _extract_long(t, USAGE_RE, 2))
+        .withColumn("cache_read_tokens", _extract_long(t, USAGE_RE, 3))
+        .withColumn("cache_write_tokens", _extract_long(t, USAGE_RE, 4))
+        .withColumn(
+            "stop_reason",
+            F.when(F.regexp_extract(t, STOP_RE, 1) == "", None).otherwise(
+                F.regexp_extract(t, STOP_RE, 1)
+            ),
+        )
+        .withColumn(
+            "verdict_disposition",
+            F.when(verdict == "yes", "BLOCK")
+            .when(verdict == "no", "ALLOW")
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "error_signature", F.when(err == "", None).otherwise(err)
+        )
+        .withColumn(
+            "is_git_activity",
+            (F.col("role") == "assistant")
+            & (F.col("tool").isin("Bash", "exec", "exec_command", "shell",
+                                  "shell_command"))
+            & t.rlike(GIT_ACTIVITY_RE),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Route stage — rule-based fan-out to the per-sink tapes.
+
+Rebuilds the reference's emit phase (SURVEY.md §3.2 step 5; tapes
+pkg/derive/spans.go:265-314): one classified, enriched frame fans out to
+
+  conversation_tape — one row per (conv_id, trace): previews + rollups
+                      (span_turns analog, spans.sql:6-22)
+  tool_tape         — one row per tool CALL with paired result, duration,
+                      display name, error flag (tool spans analog)
+  error_tape        — one row per extracted error signature: failing tool
+                      results, error stop_reasons, BLOCK verdicts
+                      (C4-style signature extraction, verdict.go:14-57)
+
+Every input turn lands in exactly the sink set its classification demands
+(routed-row equality — the pinned-count gate in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tapes_spark.operators import aggregate as agg
+from tapes_spark.operators.enrich import enrich_tool
+from tapes_spark.operators.joins import pair_tool_calls
+
+PREVIEW_CHARS = 120  # session preview cap (reference session_reads.go:161)
+RESPONSE_PREVIEW_CHARS = 280  # response preview cap (spans.go:1138)
+
+
+def conversation_tape(enriched: DataFrame) -> DataFrame:
+    """One row per (conv_id, trace) with previews + A1 rollups.
+
+    user_prompt = the trace-opening genuine prompt (J14 ordering: genuine
+    first, then earliest); response_preview = last main assistant text in
+    the trace (A10 reverse scan).
+    """
+    rollup = agg.trace_rollup(enriched)
+    previews = enriched.groupBy("conv_id", "trace_num").agg(
+        F.min_by(
+            F.when(
+                (F.col("call_kind") == "prompt") & (F.col("text_norm") != ""),
+                F.substring(F.col("text_preview"), 1, PREVIEW_CHARS),
+            ),
+            F.when(
+                (F.col("call_kind") == "prompt") & (F.col("text_norm") != ""),
+                F.col("turn_idx"),
+            ),
+        ).alias("user_prompt"),
+        F.max_by(
+            F.when(
+                (F.col("call_kind") == "main") & (F.col("text_norm") != ""),
+                F.substring(F.col("text_norm"), 1, RESPONSE_PREVIEW_CHARS),
+            ),
+            F.when(
+                (F.col("call_kind") == "main") & (F.col("text_norm") != ""),
+                F.col("turn_idx"),
+            ),
+        ).alias("response_preview"),
+        F.max((F.col("call_kind") == "compaction").cast("boolean")).alias(
+            "has_compaction"
+        ),
+    )
+    return rollup.join(previews, ["conv_id", "trace_num"], "left").withColumn(
+        "synthetic", F.col("trace_num") == 0
+    )
+
+
+def tool_tape(enriched: DataFrame, tool_dim_df: DataFrame) -> DataFrame:
+    """One row per tool call, paired + display-normalized."""
+    paired = pair_tool_calls(enriched)
+    return enrich_tool(paired, tool_dim_df).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "tool_display",
+        "tool_category",
+        "is_web_tool",
+        "is_task_tool",
+        "call_ts",
+        "result_turn_idx",
+        "result_ts",
+        "result_text",
+        "is_error",
+        "duration_ms",
+    )
+
+
+ERROR_SOURCES = ("tool_error", "stop_error", "verdict_block")
+
+
+def error_tape(enriched: DataFrame, tool_tape_df: DataFrame) -> DataFrame:
+    """Union of the three error families, each with a normalized signature."""
+    tool_errors = tool_tape_df.filter(F.col("is_error")).select(
+        "conv_id",
+        F.col("result_turn_idx").alias("turn_idx"),
+        F.col("result_ts").alias("ts"),
+        F.lit("tool_error").alias("source"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col("result_text"), r"^error: ([a-z][a-z0-9 _-]*)", 1),
+                F.lit(""),
+            ),
+            F.lit("unknown-error"),
+        ).alias("signature"),
+        F.col("tool_display").alias("tool"),
+    )
+    stop_errors = enriched.filter(
+        (F.col("role") == "assistant") & (F.col("stop_reason") == "error")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.lit("stop_error").alias("source"),
+        F.lit("stop_reason_error").alias("signature"),
+        F.nullif(F.col("tool"), F.lit("")).alias("tool"),
+    )
+    verdict_blocks = enriched.filter(
+        F.col("verdict_disposition") == "BLOCK"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.lit("verdict_block").alias("source"),
+        F.lit("permission_block").alias("signature"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    return tool_errors.unionByName(stop_errors).unionByName(verdict_blocks)
+
+
+def conv_aggregates(
+    enriched: DataFrame, tool_tape_df: DataFrame
+) -> DataFrame:
+    """A6 rollup + A5 status + A3 kind counts + A2 model usage + A4 tasks,
+    one row per conversation (the sessions-table analog)."""
+    rollup = agg.conv_rollup(enriched)
+    status = agg.conv_status(enriched, tool_tape_df)
+    kinds = agg.kind_counts(enriched)
+    usage = agg.model_usage_folded(enriched)
+    tasks = agg.tasks_fold(tool_tape_df)
+    return (
+        rollup.join(status, "conv_id", "left")
+        .join(kinds, "conv_id", "left")
+        .join(usage, "conv_id", "left")
+        .join(tasks, "conv_id", "left")
+        .withColumn("n_tasks", F.coalesce(F.col("n_tasks"), F.lit(0)))
+        .withColumn("n_updates", F.coalesce(F.col("n_updates"), F.lit(0)))
+        .withColumn("tasks_json", F.coalesce(F.col("tasks_json"), F.lit("[]")))
+    )

@@ -1,0 +1,146 @@
+"""The end-to-end parse -> enrich -> route -> aggregate pipeline.
+
+This is the Spark shape of the reference's derive pass (SURVEY.md §3.2):
+one declarative DataFrame plan from the transcripts table to the per-sink
+tapes, re-runnable idempotently (derivation is a pure function of the
+input — tapes' core correctness contract, deriveworker.go:71-73).
+
+Stage layout (each a narrow projection until the conv_id shuffle):
+
+  0 quarantine — malformed roles counted, never dropped from raw (C6/C7:
+    "a turn that fails provider parsing is still captured")
+  1 parse      — vectorized marker extraction (operators/parse.py)
+  2 normalize  — N1/N2 tag-strip + whitespace (functions/normalize.py)
+  3 classify   — C1 rule ladder (operators/classify.py)
+  4 enrich     — broadcast dims + cache-tiered cost (operators/enrich.py)
+  5 order      — Window.partitionBy(conv_id).orderBy(turn_idx): first-
+    capture dedup flags + trace assignment (ONE shuffle, reused by every
+    downstream window/agg because they all key on conv_id)
+  6 route      — fan-out to conversation/tool/error tapes
+  7 aggregate  — per-conv rollups + windowed stats + metrics tape
+
+Scale notes: the enriched frame is persisted before fan-out so the four
+sink jobs share one scan+shuffle; all windows/aggs key on conv_id so AQE
+sees one co-partitioned lineage.  At 100 TB the input would be an Iceberg
+table bucketed by conv_id — the shuffle at stage 5 then disappears
+entirely (storage-partitioned scan).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from tapes_spark import dims as dims_mod
+from tapes_spark.functions.normalize import (
+    normalized_text_col,
+    preview_text_col,
+)
+from tapes_spark.operators import aggregate as agg
+from tapes_spark.operators import route
+from tapes_spark.operators.classify import with_call_kind
+from tapes_spark.operators.enrich import enrich_pricing, enrich_role
+from tapes_spark.operators.joins import attach_verdicts, with_first_capture
+from tapes_spark.operators.parse import with_parsed_features
+
+VALID_ROLES = ("user", "assistant", "tool", "system")
+
+
+@dataclass
+class PipelineResult:
+    enriched: DataFrame
+    sinks: dict[str, DataFrame] = field(default_factory=dict)
+    metrics: dict[str, float] = field(default_factory=dict)
+
+
+def build_enriched(
+    spark: SparkSession, transcripts: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Stages 0-5: returns (enriched_valid, quarantined)."""
+    quarantined = transcripts.filter(~F.col("role").isin(*VALID_ROLES))
+    valid = transcripts.filter(F.col("role").isin(*VALID_ROLES))
+
+    parsed = with_parsed_features(valid)
+    normalized = parsed.withColumn(
+        "text_norm", normalized_text_col(F.col("text"))
+    ).withColumn("text_preview", preview_text_col(F.col("text")))
+    classified = with_call_kind(normalized)
+    enriched = enrich_pricing(
+        enrich_role(classified, dims_mod.role_dim(spark)),
+        dims_mod.pricing_dim(spark),
+    )
+    ordered = agg.with_traces(with_first_capture(enriched))
+    return ordered, quarantined
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    persist: bool = True,
+    with_verdict_attach: bool = True,
+) -> PipelineResult:
+    t0 = time.time()
+    enriched, quarantined = build_enriched(spark, transcripts)
+    if persist:
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+
+    tool_dim_df = dims_mod.tool_dim(spark)
+    tool_tape = route.tool_tape(enriched, tool_dim_df)
+    if persist:
+        tool_tape = tool_tape.persist(StorageLevel.MEMORY_AND_DISK)
+
+    sinks: dict[str, DataFrame] = {
+        "conversation_tape": route.conversation_tape(enriched),
+        "tool_tape": tool_tape,
+        "error_tape": route.error_tape(enriched, tool_tape),
+        "conv_aggregates": route.conv_aggregates(enriched, tool_tape),
+    }
+    if with_verdict_attach:
+        sinks["verdict_attachments"] = attach_verdicts(enriched)
+
+    result = PipelineResult(enriched=enriched, sinks=sinks)
+    result.metrics["quarantined_rows"] = quarantined  # lazily counted by caller
+    result.metrics["wall_start"] = t0
+    return result
+
+
+def run_metrics(
+    spark: SparkSession, result: PipelineResult, run_id: str
+) -> DataFrame:
+    """A8/S10: the auditable metrics tape — one row per counter per run.
+
+    Mirrors the reference's per-stage Prometheus counters
+    (ingest/metrics.go:39-66; pkg/derive/worker/metrics.go:73-125), but
+    written as a queryable tape (north_rule: "metrics emitted as an
+    auditable tape").
+    """
+    counters: list[tuple[str, str, float]] = []
+    enriched = result.enriched
+    counters.append((run_id, "turns_in", float(enriched.count())))
+    quarantined = result.metrics.get("quarantined_rows")
+    if quarantined is not None and not isinstance(quarantined, (int, float)):
+        counters.append((run_id, "turns_quarantined", float(quarantined.count())))
+    kind_hist = {
+        r["call_kind"]: r["count"]
+        for r in enriched.groupBy("call_kind").count().collect()
+    }
+    for k, v in sorted(kind_hist.items()):
+        counters.append((run_id, f"call_kind_{k}", float(v)))
+    for name, df in result.sinks.items():
+        counters.append((run_id, f"sink_{name}_rows", float(df.count())))
+    counters.append(
+        (run_id, "wall_seconds",
+         float(time.time() - result.metrics.get("wall_start", time.time())))
+    )
+    return spark.createDataFrame(counters, ["run_id", "metric", "value"])
+
+
+def windowed_stats(result: PipelineResult, since=None, until=None) -> DataFrame:
+    status = result.sinks["conv_aggregates"].select("conv_id", "status")
+    return agg.windowed_stats(
+        result.sinks["conversation_tape"], status, since, until
+    )

@@ -1,0 +1,99 @@
+"""Unit tests for the join operators (SURVEY.md §2.5) on hand-built frames."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from tapes_spark.operators.joins import (
+    attach_asof,
+    pair_tool_calls,
+    with_first_capture,
+)
+
+
+def _ts(s: int):
+    return datetime(2026, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # conv A: call -> result -> result (second result ignored),
+        # then call with NO result
+        ("A", 0, "user", "do it", "", _ts(0)),
+        ("A", 1, "assistant", "Using tool Bash: x", "Bash", _ts(1)),
+        ("A", 2, "tool", "ok: done", "Bash", _ts(3)),
+        ("A", 3, "tool", "ok: dup result", "Bash", _ts(4)),
+        ("A", 4, "assistant", "Using tool Read: y", "Read", _ts(5)),
+        # conv B: interleaved tools pair independently; error result
+        ("B", 0, "assistant", "Using tool Bash: a", "Bash", _ts(0)),
+        ("B", 1, "assistant", "Using tool Grep: b", "Grep", _ts(1)),
+        ("B", 2, "tool", "error: boom failure", "Bash", _ts(2)),
+        ("B", 3, "tool", "ok: found", "Grep", _ts(6)),
+    ]
+    return spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+class TestPairToolCalls:
+    def test_pairing(self, tiny):
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["result_turn_idx"],
+                r["is_error"],
+                r["duration_ms"],
+            )
+            for r in pair_tool_calls(tiny).collect()
+        }
+        assert got[("A", 1)][0] == 2  # first result wins, dup ignored
+        assert got[("A", 4)][0] is None  # unpaired call kept
+        assert got[("B", 0)] == (2, True, 2000.0)
+        assert got[("B", 1)] == (3, False, 5000.0)
+
+    def test_one_row_per_call(self, tiny):
+        df = pair_tool_calls(tiny)
+        assert df.count() == 4
+        assert df.select("conv_id", "turn_idx").distinct().count() == 4
+
+
+class TestFirstCapture:
+    def test_ordered_first_wins(self, spark):
+        rows = [
+            ("C", 0, "user", "same text", "", _ts(0)),
+            ("C", 1, "user", "same text", "", _ts(1)),
+            ("C", 2, "user", "other", "", _ts(2)),
+            ("D", 0, "user", "same text", "", _ts(0)),  # different conv: first again
+        ]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text_norm", "tool", "ts"]
+        )
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["is_first_capture"]
+            for r in with_first_capture(df).collect()
+        }
+        assert got == {("C", 0): True, ("C", 1): False, ("C", 2): True, ("D", 0): True}
+
+
+class TestAsOfAttach:
+    def test_web_attach_recency_and_consume_once(self, spark):
+        rows = [
+            ("E", 0, "assistant", "Using WebFetch", "WebFetch", _ts(0), "main"),
+            ("E", 1, "user", "Web page content: a", "", _ts(1), "web"),
+            ("E", 2, "user", "Web page content: b", "", _ts(2), "web"),
+            ("E", 3, "assistant", "Using WebSearch", "WebSearch", _ts(3), "main"),
+            ("E", 4, "user", "Web page content: c", "", _ts(4), "web"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts", "call_kind"]
+        )
+        got = sorted(
+            (r["attacher_turn_idx"], r["target_turn_idx"], r["target_tool"])
+            for r in attach_asof(df, "web", ["WebFetch", "WebSearch"]).collect()
+        )
+        # turn 1 consumes the WebFetch at 0; turn 2 finds the same target
+        # already consumed -> dropped by consume-once; turn 4 takes WebSearch
+        assert got == [(1, 0, "WebFetch"), (4, 3, "WebSearch")]

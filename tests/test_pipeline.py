@@ -1,0 +1,196 @@
+"""End-to-end pipeline gates — the rebuild of the reference's golden
+corpus tests (tapes pkg/derive/corpus_test.go:75-149,
+spans_corpus_test.go:34-96): pinned per-sink counts, routed-row equality,
+idempotent re-run equality.
+
+When the emitter changes intentionally, re-pin and say why
+(spans_corpus_test.go:17-19).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tapes_spark.pipeline import run_pipeline
+
+# ---- pinned golden counts for the seed-42 unit corpus (8 convs, 12 med) ----
+PINNED_INPUT_ROWS = 789
+PINNED_QUARANTINED = 1  # the unknown-role row (C6/C7: counted, never dropped)
+PINNED_KINDS = {
+    "check": 1,
+    "compaction": 1,
+    "main": 390,
+    "plan": 1,
+    "prompt": 193,
+    "suggestion": 1,
+    "title": 1,
+    "tool_result": 199,
+    "web": 1,
+}
+PINNED_SINKS = {
+    "conversation_tape": 193,
+    "tool_tape": 199,
+    "error_tape": 18,
+    "conv_aggregates": 8,
+    "verdict_attachments": 1,
+}
+PINNED_ERROR_SOURCES = {"stop_error": 1, "tool_error": 16, "verdict_block": 1}
+PINNED_TOOL_PAIRED = 199
+PINNED_TOOL_ERRORS = 16
+PINNED_DUP_CAPTURES = 202
+PINNED_STATUSES = {
+    "conv-000000": "completed",
+    "conv-000001": "completed",
+    "conv-000002": "completed",  # git-shipping: sticky git flag (A5)
+    "conv-000003": "completed",
+    "conv-000004": "unknown",
+    "conv-000005": "completed",
+    "conv-000006": "completed",
+    "conv-000007": "abandoned",  # skew conv ends on a user turn
+}
+# the fuzzy verdict attach: check turn 5 consumes the Bash call at turn 2
+PINNED_VERDICTS = [("conv-000004", 5, 2, "BLOCK")]
+
+
+@pytest.fixture(scope="module")
+def result(spark, transcripts):
+    return run_pipeline(spark, transcripts)
+
+
+class TestPinnedCounts:
+    def test_input_rows(self, transcripts):
+        assert transcripts.count() == PINNED_INPUT_ROWS
+
+    def test_quarantine(self, result):
+        assert result.metrics["quarantined_rows"].count() == PINNED_QUARANTINED
+
+    def test_kind_histogram(self, result):
+        kinds = {
+            r["call_kind"]: r["count"]
+            for r in result.enriched.groupBy("call_kind").count().collect()
+        }
+        assert kinds == PINNED_KINDS
+        assert "unknown" not in kinds  # nothing silently bucketed in corpus
+
+    def test_sink_counts(self, result):
+        got = {name: df.count() for name, df in result.sinks.items()}
+        assert got == PINNED_SINKS
+
+    def test_error_sources(self, result):
+        got = {
+            r["source"]: r["count"]
+            for r in result.sinks["error_tape"].groupBy("source").count().collect()
+        }
+        assert got == PINNED_ERROR_SOURCES
+
+    def test_tool_pairing(self, result):
+        tt = result.sinks["tool_tape"]
+        assert tt.filter(F.col("result_turn_idx").isNotNull()).count() == (
+            PINNED_TOOL_PAIRED
+        )
+        assert tt.filter(F.col("is_error")).count() == PINNED_TOOL_ERRORS
+
+    def test_first_capture_dedup(self, result):
+        assert (
+            result.enriched.filter(~F.col("is_first_capture")).count()
+            == PINNED_DUP_CAPTURES
+        )
+
+    def test_statuses(self, result):
+        got = {
+            r["conv_id"]: r["status"]
+            for r in result.sinks["conv_aggregates"].collect()
+        }
+        assert got == PINNED_STATUSES
+
+    def test_verdict_attachments(self, result):
+        got = [
+            (r["conv_id"], r["check_turn_idx"], r["tool_turn_idx"], r["disposition"])
+            for r in result.sinks["verdict_attachments"].collect()
+        ]
+        assert got == PINNED_VERDICTS
+
+
+class TestRoutedRowEquality:
+    """Every input turn lands in exactly the sink set its classification
+    demands (FIXTURES.md §3)."""
+
+    def test_tool_calls_route_to_tool_tape(self, result):
+        calls = result.enriched.filter(
+            (F.col("role") == "assistant") & (F.col("tool") != "")
+        )
+        tape = result.sinks["tool_tape"]
+        left = calls.select("conv_id", "turn_idx")
+        right = tape.select("conv_id", "turn_idx")
+        assert left.exceptAll(right).count() == 0
+        assert right.exceptAll(left).count() == 0
+
+    def test_every_conv_has_aggregate_row(self, result, transcripts):
+        # empty-fold semantics (A3): every covered conv materializes a row
+        convs = {
+            r["conv_id"]
+            for r in transcripts.filter(
+                F.col("role").isin("user", "assistant", "tool", "system")
+            )
+            .select("conv_id")
+            .distinct()
+            .collect()
+        }
+        agg_convs = {
+            r["conv_id"] for r in result.sinks["conv_aggregates"].collect()
+        }
+        assert agg_convs == convs
+
+    def test_error_rows_traceable(self, result):
+        # every error row references a real input turn of its conv
+        et = result.sinks["error_tape"].select("conv_id", "turn_idx")
+        src = result.enriched.select("conv_id", "turn_idx")
+        assert et.join(src, ["conv_id", "turn_idx"], "left_anti").count() == 0
+
+    def test_traces_partition_turns(self, result):
+        # trace turn_counts sum to the valid turn count per conv
+        per_conv_tape = (
+            result.sinks["conversation_tape"]
+            .groupBy("conv_id")
+            .agg(F.sum("turn_count").alias("n"))
+        )
+        per_conv_in = result.enriched.groupBy("conv_id").count()
+        j = per_conv_tape.join(per_conv_in, "conv_id")
+        assert j.filter(F.col("n") != F.col("count")).count() == 0
+
+
+class TestIdempotence:
+    """Re-derive == byte-identical output (tapes corpus_test.go:140-149;
+    determinism is the core correctness contract, D2)."""
+
+    def test_rerun_equality(self, spark, transcripts, result):
+        def comparable(df):
+            # set ops reject MAP columns; serialize complex types to JSON
+            cols = [
+                F.to_json(F.col(f.name)).alias(f.name)
+                if f.dataType.typeName() in ("map", "array", "struct")
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+            return df.select(cols)
+
+        rerun = run_pipeline(spark, transcripts)
+        for name in result.sinks:
+            a, b = comparable(result.sinks[name]), comparable(rerun.sinks[name])
+            assert a.exceptAll(b).count() == 0, name
+            assert b.exceptAll(a).count() == 0, name
+
+    def test_deterministic_ids(self, result):
+        tape = result.sinks["conversation_tape"]
+        assert (
+            tape.filter(
+                F.col("trace_id")
+                != F.concat(
+                    F.lit("trc_"), F.col("conv_id"), F.lit("_"), F.col("trace_num")
+                )
+            ).count()
+            == 0
+        )
+        # trace ids unique
+        assert tape.select("trace_id").distinct().count() == tape.count()
