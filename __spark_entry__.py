@@ -1,38 +1,671 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is the Spark-first implementation of an operator
+family from SURVEY.md §2 (plus the training-data ops: dedup, similarity,
+text analysis), expressed over the driver's testdata tables; the matching
+``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs on the same
+parquet.  Column names/types are aligned on both sides; floats rounded,
+timestamps compared as epoch microseconds.
+
+The transcripts pipeline itself (the primary deliverable) is gated by
+pytest (tests/test_pipeline.py pinned-corpus goldens); see
+tapes_spark/pipeline.py.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # driver parquet stores naive timestamps (TIMESTAMP_NTZ); session tz is
+    # UTC, so a cast to TIMESTAMP is lossless and matches DuckDB's epoch_us
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
+# --------------------------------------------------------------------------
+# flagship: sessionized event-stream rollup (the log-pipeline signature op:
+# stable per-key ordering -> gap-based session assignment -> rollup;
+# ST1-ST7/A6 analog of the transcripts pipeline on the events table)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_sessionize(spark, SF_DEFAULT)
 
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) + per-session rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    with_breaks = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = with_breaks.withColumn(
+        "session_idx", F.sum("is_new_session").over(w_cum)
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("started_us"),
+            F.max(F.unix_micros("ts")).alias("ended_us"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn("duration_us", F.col("ended_us") - F.col("started_us"))
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(epoch_us(ts)) AS started_us,
+       max(epoch_us(ts)) AS ended_us,
+       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       round(sum(value), 2) AS total_value,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# A1/A6 hash-aggregate rollup (lineitem pricing summary)
+# --------------------------------------------------------------------------
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# A7 windowed stats (time-window filter + conditional aggregates)
+# --------------------------------------------------------------------------
+
+def q_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(
+                F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 4
+            ).alias("avg_purchase_value"),
+        )
+    )
+
+
+_WINDOWED_SQL = """
+SELECT count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       round(sum(value), 2) AS total_value,
+       round(avg(value) FILTER (WHERE event_type = 'purchase'), 4)
+           AS avg_purchase_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+"""
+
+
+# --------------------------------------------------------------------------
+# C1 route counts (the rule-ladder fan-out histogram)
+# --------------------------------------------------------------------------
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    routed = ev.withColumn(
+        "sink",
+        F.when(F.col("event_type") == "error", "error_tape")
+        .when(F.col("event_type").isin("purchase", "signup"), "conversion_tape")
+        .otherwise("activity_tape"),
+    )
+    return routed.groupBy("sink").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_ROUTE_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'error_tape'
+            WHEN event_type IN ('purchase', 'signup') THEN 'conversion_tape'
+            ELSE 'activity_tape' END AS sink,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# lag() latency deltas (the north_rule's per-conversation latency op)
+# --------------------------------------------------------------------------
+
+def q_latency_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("delta_us", delta)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("delta_us").alias("min_delta_us"),
+            F.round(F.avg("delta_us"), 2).alias("avg_delta_us"),
+            F.max("delta_us").alias("max_delta_us"),
+        )
+    )
+
+
+_LATENCY_SQL = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS delta_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       min(delta_us) AS min_delta_us,
+       round(avg(delta_us), 2) AS avg_delta_us,
+       max(delta_us) AS max_delta_us
+FROM d GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# J14 first-row-per-group pick (genuine-preview join analog)
+# --------------------------------------------------------------------------
+
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+_FIRST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# J1 ordered first-capture dedup (row_number, NOT dropDuplicates)
+# --------------------------------------------------------------------------
+
+def q_ordered_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+_ORDERED_DEDUP_SQL = """
+SELECT user_id, event_type, event_id AS first_event_id
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# O3 keyset pagination (tuple-compare cursor)
+# --------------------------------------------------------------------------
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cursor_date = F.lit("1996-06-01").cast("timestamp")
+    cursor_key = F.lit(100)
+    return (
+        orders.filter(
+            (F.col("o_orderdate") > cursor_date)
+            | ((F.col("o_orderdate") == cursor_date) & (F.col("o_orderkey") > cursor_key))
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        )
+    )
+
+
+_KEYSET_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS o_totalprice,
+       epoch_us(o_orderdate) AS o_orderdate_us
+FROM orders
+WHERE o_orderdate > TIMESTAMP '1996-06-01'
+   OR (o_orderdate = TIMESTAMP '1996-06-01' AND o_orderkey > 100)
+ORDER BY o_orderdate, o_orderkey
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# J10 broadcast-join enrichment (fact x two dims -> revenue rollup)
+# --------------------------------------------------------------------------
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(dim, li["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_BROADCAST_SQL = """
+SELECT n_name, p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# O4 top-k per group
+# --------------------------------------------------------------------------
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 mode (most-frequent value per group, count desc then value asc)
+# --------------------------------------------------------------------------
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").count()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("count").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("count").alias("mode_count"),
+        )
+    )
+
+
+_MODE_SQL = """
+SELECT user_id, event_type AS mode_event_type, cnt AS mode_count
+FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON payload extraction (the JSONB analog: props -> typed column)
+# --------------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: exact + fingerprint (training-data ops over documents)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = exact_dedup(docs)
+    return d.agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_groups"),
+    )
+
+
+_EXACT_DEDUP_SQL = """
+WITH g AS (
+  SELECT sha256(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+         count(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT count(*) AS n_distinct_texts, sum(n_copies) AS n_docs,
+       count(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
+FROM g
+"""
+
+
+def q_fingerprint_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.dedup import fingerprint_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs).select(
+        "fingerprint", "canonical_doc_id", "n_copies"
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT sha256(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram (word-set) Jaccard near-dup pairs — oracle-checkable baseline
+# --------------------------------------------------------------------------
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
+      AS token
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(shared * 1.0 / (sa.n_tokens + sb.n_tokens - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc1
+JOIN sizes sb ON sb.doc_id = doc2
+WHERE round(shared * 1.0 / (sa.n_tokens + sb.n_tokens - shared), 4) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis: token stats, quality, language-ID accuracy
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.textstats import with_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_token_stats(docs)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+            F.round(F.avg("token_count"), 4).alias("avg_tokens"),
+            F.round(F.avg("distinct_token_count"), 4).alias("avg_distinct_tokens"),
+        )
+    )
+
+
+_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\\s+')) AS token_count,
+         len(list_distinct(string_split_regex(trim(text), '\\s+')))
+             AS distinct_token_count
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(token_count) AS total_tokens,
+       round(avg(token_count), 4) AS avg_tokens,
+       round(avg(distinct_token_count), 4) AS avg_distinct_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.textstats import with_lang_pred
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = with_lang_pred(docs)
+    return pred.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("lang_pred") == F.col("lang"), 1)).alias("n_correct"),
+    )
+
+
+def _lang_id_sql() -> str:
+    from tapes_spark.operators.textstats import STOPWORDS
+
+    score_exprs = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+            f" AS s_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    gmax = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + gmax + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {gmax} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT lang, {", ".join(score_exprs)} FROM t
+)
+SELECT lang, count(*) AS n_docs,
+       count(*) FILTER (WHERE {case} = lang) AS n_correct
+FROM s GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity: brute-force cosine top-k over embeddings
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.similarity import brute_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+_COSINE_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+           embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sessionize": q_sessionize,
+        "pricing_rollup": q_pricing_rollup,
+        "windowed_stats": q_windowed_stats,
+        "route_counts": q_route_counts,
+        "latency_deltas": q_latency_deltas,
+        "first_event_per_user": q_first_event_per_user,
+        "ordered_dedup": q_ordered_dedup,
+        "keyset_page": q_keyset_page,
+        "broadcast_enrich": q_broadcast_enrich,
+        "topk_per_group": q_topk_per_group,
+        "mode_event_type": q_mode_event_type,
+        "json_extract": q_json_extract,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "fingerprint_dedup_docs": q_fingerprint_dedup_docs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "cosine_topk": q_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sessionize": _SESSIONIZE_SQL,
+        "pricing_rollup": _PRICING_SQL,
+        "windowed_stats": _WINDOWED_SQL,
+        "route_counts": _ROUTE_SQL,
+        "latency_deltas": _LATENCY_SQL,
+        "first_event_per_user": _FIRST_EVENT_SQL,
+        "ordered_dedup": _ORDERED_DEDUP_SQL,
+        "keyset_page": _KEYSET_SQL,
+        "broadcast_enrich": _BROADCAST_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "mode_event_type": _MODE_SQL,
+        "json_extract": _JSON_SQL,
+        "exact_dedup_docs": _EXACT_DEDUP_SQL,
+        "fingerprint_dedup_docs": _FINGERPRINT_SQL,
+        "jaccard_pairs": _JACCARD_SQL,
+        "token_stats": _TOKEN_STATS_SQL,
+        "lang_id": _lang_id_sql(),
+        "cosine_topk": _COSINE_SQL,
+    }

@@ -316,13 +316,15 @@ def write_transcripts(
     n_convs: int = 8,
     median_turns: int = 12,
     seed: int = 42,
-    rows_per_file: int = 500_000,
+    row_group_size: int = 50_000,
 ) -> int:
     """Write the transcripts table as parquet; returns row count.
 
     Data is written in conv_id order (the natural capture layout); at real
     scale this table would be Iceberg-partitioned by bucket(conv_id) +
-    days(ts).
+    days(ts).  Row groups are kept small (50k rows ≈ 1.5 MB) so a local
+    single-file read can still split across tasks — Spark parallelizes a
+    parquet scan at row-group granularity.
     """
     rows = generate_transcripts(n_convs, median_turns, seed)
     cols = list(zip(*rows))
@@ -330,5 +332,5 @@ def write_transcripts(
         [pa.array(c, type=f.type) for c, f in zip(cols, ARROW_SCHEMA)],
         schema=ARROW_SCHEMA,
     )
-    pq.write_table(table, path, row_group_size=rows_per_file)
+    pq.write_table(table, path, row_group_size=row_group_size)
     return len(rows)

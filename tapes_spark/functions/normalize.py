@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 # The 18-tag catalog (reference projection.go:23-56).  `command-*` and
 # `local-command-*` families are enumerated explicitly.
@@ -140,7 +140,7 @@ def normalize_text_py(s: str) -> str:
     return normalize_whitespace_py(strip_harness_tags(s))
 
 
-# NOTE: return types are StructType objects, not DDL strings — a DDL string
+# NOTE: return types are DataType objects, not DDL strings — a DDL string
 # would be parsed lazily and fail when the module is imported inside a Python
 # worker where no SparkSession exists.
 @pandas_udf(StringType())
@@ -156,17 +156,57 @@ def _preview_tags_udf(texts: pd.Series) -> pd.Series:
     )
 
 
+_STRIP_BOTH_TYPE = StructType(
+    [
+        StructField("stripped", StringType()),
+        StructField("preview", StringType()),
+    ]
+)
+
+
+@pandas_udf(_STRIP_BOTH_TYPE)
+def _strip_both_udf(texts: pd.Series) -> pd.DataFrame:
+    """Both tag-strip policies in ONE Arrow round-trip (the pipeline needs
+    text_norm and text_preview for every row; two separate UDF columns
+    would ship the text to Python twice)."""
+    stripped = []
+    preview = []
+    for s in texts:
+        if s is None:
+            stripped.append(None)
+            preview.append(None)
+        elif "<" not in s:
+            stripped.append(s)
+            preview.append(s)
+        else:
+            stripped.append(strip_harness_tags(s))
+            preview.append(strip_harness_tags(s, CONTENT_BEARING_TAGS))
+    return pd.DataFrame({"stripped": stripped, "preview": preview})
+
+
 def normalize_whitespace_col(c: Column) -> Column:
     """N2 as a native JVM expression chain (whole-stage codegen).
 
-    NOTE: Spark's ``trim`` strips only 0x20 spaces — the final trim must be
-    a regexp so newlines/tabs at the edges are removed exactly like the
-    pure-python ``str.strip`` mirror.
+    ONE gate around the whole replace chain (<10% of real turns carry
+    CRLF / blank-line drift).  Gating each step individually nests the
+    previous step's expression into every condition — the tree grows
+    exponentially and falls out of whole-stage codegen; keep conditions
+    on the RAW column only.  The final trim is `btrim` with an explicit
+    charset (Spark's `trim` strips only 0x20 spaces; btrim matches python
+    str.strip(" \\t\\r\\n")).
     """
-    c = F.regexp_replace(c, r"\r\n", "\n")
-    c = F.regexp_replace(c, r"[ \t]+\n", "\n")
-    c = F.regexp_replace(c, r"\n{2,}", "\n")
-    return F.regexp_replace(c, r"^[ \t\r\n]+|[ \t\r\n]+$", "")
+    needs = (
+        c.contains("\r")
+        | c.contains("\n\n")
+        | c.contains(" \n")
+        | c.contains("\t\n")
+    )
+    chain = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, r"\r\n", "\n"), r"[ \t]+\n", "\n"),
+        r"\n{2,}",
+        "\n",
+    )
+    return F.btrim(F.when(needs, chain).otherwise(c), F.lit(" \t\r\n"))
 
 
 # A row can only need the pandas-UDF path if it contains "<" at all —
@@ -185,6 +225,19 @@ def preview_text_col(c: Column) -> Column:
     """N4 over a text column (content-bearing tags unwrapped)."""
     stripped = F.when(_maybe_tagged(c), _preview_tags_udf(c)).otherwise(c)
     return normalize_whitespace_col(stripped)
+
+
+def normalized_and_preview_cols(c: Column) -> tuple[Column, Column]:
+    """Both N1+N2 and N4 from ONE pandas-UDF pass (struct-returning UDF,
+    gated on the native contains('<') pre-filter).  Use this in the
+    pipeline hot path; the single-column variants exist for ad-hoc use."""
+    both = F.when(
+        _maybe_tagged(c), _strip_both_udf(c)
+    ).otherwise(F.struct(c.alias("stripped"), c.alias("preview")))
+    return (
+        normalize_whitespace_col(both["stripped"]),
+        normalize_whitespace_col(both["preview"]),
+    )
 
 
 def normalize_model_col(c: Column) -> Column:

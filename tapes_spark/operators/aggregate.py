@@ -265,9 +265,12 @@ def _tasks_fold_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def tasks_fold(tool_tape: DataFrame) -> DataFrame:
-    """A4 entry over the paired tool tape. Only conversations with task
-    tool activity reach Python (semi-join gate)."""
+def tasks_fold_grouped(tool_tape: DataFrame) -> DataFrame:
+    """A4 as a grouped-map pandas fold — the direct transcription of the
+    reference's sequential replay.  Kept as the semantic reference; the
+    production path is :func:`tasks_fold` (native), which a parity test
+    pins against this one.  Per-group Python invocation overhead makes
+    this ~10x slower on many small groups."""
     task_rows = tool_tape.filter(
         F.col("tool").isin("TaskCreate", "TaskUpdate")
         & F.col("result_text").isNotNull()
@@ -276,6 +279,128 @@ def tasks_fold(tool_tape: DataFrame) -> DataFrame:
     return task_rows.groupBy("conv_id").applyInPandas(
         _tasks_fold_pdf, schema=_TASKS_SCHEMA
     )
+
+
+def tasks_fold(tool_tape: DataFrame) -> DataFrame:
+    """A4 tasks replay as native window + max_by algebra (no Python).
+
+    The sequential replay semantics decompose exactly:
+      * era = number of TaskCreate rows seen so far per (conv, task id) —
+        a re-create resets subject/status/updates, so only the FINAL era
+        determines a task's terminal state;
+      * an update is valid iff some create precedes it (era > 0);
+      * terminal status/subject = last valid update in the final era
+        (max_by over the (ts, turn_idx) order), else the create's;
+      * per-task updates counter = valid updates in the final era;
+        conv-level n_updates = ALL valid updates (the reference counter
+        is never reset, tasks.go:14-111).
+    """
+    rows = tool_tape.filter(
+        F.col("tool").isin("TaskCreate", "TaskUpdate")
+        & F.col("result_text").isNotNull()
+    )
+    is_create = F.col("tool") == "TaskCreate"
+    tid_s = F.regexp_extract(F.col("result_text"), r"#(\d+)", 1)
+    parsed = (
+        rows.withColumn("tid", F.when(tid_s != "", tid_s.cast("int")))
+        .filter(F.col("tid").isNotNull())
+        .withColumn("is_create", is_create)
+        .withColumn(
+            "subject_c",
+            F.when(is_create,
+                   F.regexp_extract(F.col("result_text"),
+                                    r"#\d+(?::\s*(.*))?", 1)),
+        )
+        .withColumn(
+            "status_u",
+            F.nullif(
+                F.regexp_extract(F.col("result_text"), r"#\d+.*?status=(\w+)", 1),
+                F.lit(""),
+            ),
+        )
+        .withColumn(
+            "subject_u",
+            F.nullif(
+                F.regexp_extract(F.col("result_text"), r"#\d+.*?subject=(.*)", 1),
+                F.lit(""),
+            ),
+        )
+        .withColumn("ord", F.struct(F.col("result_ts"), F.col("turn_idx")))
+    )
+    w = (
+        Window.partitionBy("conv_id", "tid")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("conv_id", "tid")
+    staged = (
+        parsed.withColumn("era", F.sum(F.col("is_create").cast("int")).over(w))
+        .withColumn("max_era", F.max("era").over(full))
+        .withColumn(
+            "valid_update", (~F.col("is_create")) & (F.col("era") > 0)
+        )
+        .withColumn("in_final", F.col("era") == F.col("max_era"))
+    )
+    per_task = (
+        staged.groupBy("conv_id", "tid")
+        .agg(
+            F.max(F.col("is_create").cast("int")).alias("has_create"),
+            F.max_by(
+                F.col("subject_c"),
+                F.when(F.col("is_create") & F.col("in_final"), F.col("ord")),
+            ).alias("subject0"),
+            F.max_by(
+                F.col("status_u"),
+                F.when(
+                    F.col("valid_update")
+                    & F.col("in_final")
+                    & F.col("status_u").isNotNull(),
+                    F.col("ord"),
+                ),
+            ).alias("status_f"),
+            F.max_by(
+                F.col("subject_u"),
+                F.when(
+                    F.col("valid_update")
+                    & F.col("in_final")
+                    & F.col("subject_u").isNotNull(),
+                    F.col("ord"),
+                ),
+            ).alias("subject_f"),
+            F.count(
+                F.when(F.col("valid_update") & F.col("in_final"), 1)
+            ).alias("updates_final"),
+            F.count(F.when(F.col("valid_update"), 1)).alias("updates_all"),
+        )
+        .filter(F.col("has_create") == 1)
+        .select(
+            "conv_id",
+            F.col("tid").alias("id"),
+            F.coalesce(F.col("status_f"), F.lit("open")).alias("status"),
+            F.trim(
+                F.coalesce(F.col("subject_f"), F.col("subject0"), F.lit(""))
+            ).alias("subject"),
+            F.col("updates_final").alias("updates"),
+            "updates_all",
+        )
+    )
+    per_conv = per_task.groupBy("conv_id").agg(
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("status") != "deleted",
+                        F.struct("id", "status", "subject", "updates"),
+                    )
+                )
+            )
+        ).alias("tasks_json"),
+        F.count(F.when(F.col("status") != "deleted", 1)).cast("int").alias(
+            "n_tasks"
+        ),
+        F.sum("updates_all").cast("int").alias("n_updates"),
+    )
+    return per_conv.select("conv_id", "tasks_json", "n_tasks", "n_updates")
 
 
 # ------------------------------------------------------------ A5 status
@@ -296,23 +421,15 @@ def conv_status(df: DataFrame, tool_tape: DataFrame) -> DataFrame:
         ),
         F.count(F.when(F.col("is_error"), 1)).alias("tool_error_count"),
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    per_conv = (
-        df.withColumn(
-            "terminal_main_stop",
-            F.last(
-                F.when(F.col("call_kind") == "main", F.col("stop_reason")), True
-            ).over(w),
-        )
-        .withColumn("last_role", F.last("role").over(w))
-        .groupBy("conv_id")
-        .agg(
-            F.max(F.col("is_git_activity").cast("int")).alias("has_git"),
-            F.first("terminal_main_stop").alias("terminal_main_stop"),
-            F.first("last_role").alias("last_role"),
-        )
+    # terminal picks as max_by hash aggregates (partial-agg friendly) rather
+    # than full-partition windows — same semantics, no per-conv sort
+    per_conv = df.groupBy("conv_id").agg(
+        F.max(F.col("is_git_activity").cast("int")).alias("has_git"),
+        F.max_by(
+            F.col("stop_reason"),
+            F.when(F.col("call_kind") == "main", F.col("turn_idx")),
+        ).alias("terminal_main_stop"),
+        F.max_by("role", "turn_idx").alias("last_role"),
     )
     j = per_conv.join(tool_counts, "conv_id", "left").fillna(
         {"tool_result_count": 0, "tool_error_count": 0}

@@ -88,8 +88,15 @@ def call_kind_col(
     is_assistant = role == "assistant"
     is_user = role == "user"
     return (
-        # shadow kinds first — they must win over plain main/prompt
-        F.when(is_assistant & t.rlike(r"(?i)<block>\s*(yes|no)"), "check")
+        # shadow kinds first — they must win over plain main/prompt.
+        # the rlike is gated behind a cheap substring contains — regex scan
+        # only runs on rows that can possibly match
+        F.when(
+            is_assistant
+            & t.contains("<block>")
+            & t.rlike(r"(?i)<block>\s*(yes|no)"),
+            "check",
+        )
         .when(is_assistant & t.startswith("[SUGGESTION MODE"), "suggestion")
         .when(is_assistant & t.startswith('{"title"'), "title")
         .when(is_assistant & _is_compaction(t), "compaction")

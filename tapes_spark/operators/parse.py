@@ -46,25 +46,57 @@ def _extract_long(c: Column, pattern: str, group: int) -> Column:
 
 
 def with_parsed_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add all parse-stage feature columns. Pure native expressions."""
+    """Add all parse-stage feature columns. Pure native expressions.
+
+    The usage marker is located ONCE with a single regex over the full
+    text; the four token fields then parse the short captured substring
+    (one long-text scan instead of four).
+    """
     t = F.col(text_col)
-    model = F.regexp_extract(t, MODEL_RE, 1)
-    verdict = F.lower(F.regexp_extract(t, VERDICT_RE, 1))
-    err = F.regexp_extract(t, ERROR_HEAD_RE, 1)
+    # role-gate every text scan: model/usage/stop/verdict markers only occur
+    # in assistant turns, error heads only in tool results — conditions test
+    # the cheap `role` column so ~half the rows never regex-scan text at all
+    is_assistant = F.col("role") == "assistant"
+    is_tool_row = F.col("role") == "tool"
+    empty = F.lit("")
+    model = F.when(is_assistant, F.regexp_extract(t, MODEL_RE, 1)).otherwise(empty)
+    verdict = F.lower(
+        F.when(
+            is_assistant & t.contains("<block>"),
+            F.regexp_extract(t, VERDICT_RE, 1),
+        ).otherwise(empty)
+    )
+    err = F.when(
+        is_tool_row & t.startswith("error:"), F.regexp_extract(t, ERROR_HEAD_RE, 1)
+    ).otherwise(empty)
+    usage = F.when(
+        is_assistant, F.regexp_extract(t, r"\[usage: ([^\]]+)\]", 1)
+    ).otherwise(empty)
     return (
         df.withColumn("model", F.when(model == "", None).otherwise(model))
         .withColumn(
             "model_norm",
             F.when(model == "", None).otherwise(normalize_model_col(model)),
         )
-        .withColumn("input_tokens", _extract_long(t, USAGE_RE, 1))
-        .withColumn("output_tokens", _extract_long(t, USAGE_RE, 2))
-        .withColumn("cache_read_tokens", _extract_long(t, USAGE_RE, 3))
-        .withColumn("cache_write_tokens", _extract_long(t, USAGE_RE, 4))
+        .withColumn("_usage", usage)
+        .withColumn("input_tokens", _extract_long(F.col("_usage"), r"in=(\d+)", 1))
+        .withColumn(
+            "output_tokens", _extract_long(F.col("_usage"), r"out=(\d+)", 1)
+        )
+        .withColumn(
+            "cache_read_tokens",
+            _extract_long(F.col("_usage"), r"cache_read=(\d+)", 1),
+        )
+        .withColumn(
+            "cache_write_tokens",
+            _extract_long(F.col("_usage"), r"cache_write=(\d+)", 1),
+        )
+        .drop("_usage")
         .withColumn(
             "stop_reason",
-            F.when(F.regexp_extract(t, STOP_RE, 1) == "", None).otherwise(
-                F.regexp_extract(t, STOP_RE, 1)
+            F.when(
+                is_assistant & (F.regexp_extract(t, STOP_RE, 1) != ""),
+                F.regexp_extract(t, STOP_RE, 1),
             ),
         )
         .withColumn(

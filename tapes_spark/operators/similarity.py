@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring what a 100 TB pipeline needs:
+
+  brute_cosine_topk — exact baseline: dot product via zip_with/aggregate
+                      higher-order functions (JVM-side, no Python), full
+                      scan + top-k.  Right answer, O(n) per query.
+  lsh_cosine_topk   — scale path: random-hyperplane LSH (sign-bit bucket
+                      per table), candidates from bucket equi-join, exact
+                      re-rank of candidates only.  Deterministic planes
+                      (seeded) => idempotent.
+
+The query vector is broadcast as a literal array — never a driver-side
+collect loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to query_vec.
+
+    Ties broken by id ascending for determinism.  The orderBy+limit is a
+    TakeOrderedAndProject — no full sort materializes.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_tables: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, bits, dim))
+
+
+def with_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add (table_idx, bucket) rows: one per hash table, bucket = the
+    sign-bit code of `bits` random hyperplanes.  Pure column expressions —
+    the planes are literals baked into the plan (tiny: tables*bits*dim)."""
+    planes = _planes(dim, n_tables, bits, seed)
+    tables = []
+    for t in range(n_tables):
+        code = F.lit(0).cast("long")
+        for b in range(bits):
+            plane = planes[t, b]
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(p)) for p in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            code = code + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        tables.append(
+            F.struct(F.lit(t).alias("table_idx"), code.alias("bucket"))
+        )
+    return embeddings.select(
+        "*", F.explode(F.array(*tables)).alias("_t")
+    ).select("*", "_t.table_idx", "_t.bucket").drop("_t")
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 8,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket in each table, exact re-rank of
+    the union of candidates.  Recall is tested against brute force in
+    tests/test_similarity.py."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_tables, bits, seed)
+    qv = np.array(query_vec)
+    probe = [
+        (t, int(sum((1 << b) for b in range(bits) if planes[t, b] @ qv > 0)))
+        for t in range(n_tables)
+    ]
+    bucketed = with_lsh_buckets(
+        embeddings, dim, n_tables, bits, seed, vec_col
+    )
+    probe_df = bucketed.sparkSession.createDataFrame(
+        probe, "table_idx int, bucket long"
+    )
+    candidates = (
+        bucketed.join(F.broadcast(probe_df), ["table_idx", "bucket"])
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    return brute_cosine_topk(candidates, query_vec, k, vec_col, id_col)

@@ -37,8 +37,8 @@ from pyspark.storagelevel import StorageLevel
 
 from tapes_spark import dims as dims_mod
 from tapes_spark.functions.normalize import (
-    normalized_text_col,
-    preview_text_col,
+    normalize_whitespace_col,
+    normalized_and_preview_cols,
 )
 from tapes_spark.operators import aggregate as agg
 from tapes_spark.operators import route
@@ -60,20 +60,43 @@ class PipelineResult:
 def build_enriched(
     spark: SparkSession, transcripts: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """Stages 0-5: returns (enriched_valid, quarantined)."""
+    """Stages 0-5: returns (enriched_valid, quarantined).
+
+    One pandas-UDF pass produces both normalization variants; ONE explicit
+    hash-repartition on conv_id feeds every downstream window and groupBy
+    (their clustering keys all start with conv_id, so Spark reuses this
+    exchange — the whole pipeline has a single wide shuffle).  On a real
+    cluster with the input Iceberg table bucketed by conv_id even this
+    exchange disappears (storage-partitioned scan).
+    """
     quarantined = transcripts.filter(~F.col("role").isin(*VALID_ROLES))
     valid = transcripts.filter(F.col("role").isin(*VALID_ROLES))
 
     parsed = with_parsed_features(valid)
-    normalized = parsed.withColumn(
-        "text_norm", normalized_text_col(F.col("text"))
-    ).withColumn("text_preview", preview_text_col(F.col("text")))
+    # split-union so the Arrow round-trip ships ONLY tagged rows (~10% of
+    # real traffic): ArrowEvalPython evaluates unconditionally per row, so
+    # a when()-gate would not avoid the transfer — a filter does.
+    maybe_tagged = F.coalesce(F.col("text").contains("<"), F.lit(False))
+    text_norm, text_preview = normalized_and_preview_cols(F.col("text"))
+    tagged = (
+        parsed.filter(maybe_tagged)
+        .withColumn("text_norm", text_norm)
+        .withColumn("text_preview", text_preview)
+    )
+    ws_only = normalize_whitespace_col(F.col("text"))
+    plain = (
+        parsed.filter(~maybe_tagged)
+        .withColumn("text_norm", ws_only)
+        .withColumn("text_preview", ws_only)
+    )
+    normalized = tagged.unionByName(plain)
     classified = with_call_kind(normalized)
     enriched = enrich_pricing(
         enrich_role(classified, dims_mod.role_dim(spark)),
         dims_mod.pricing_dim(spark),
     )
-    ordered = agg.with_traces(with_first_capture(enriched))
+    co_partitioned = enriched.repartition("conv_id")
+    ordered = agg.with_traces(with_first_capture(co_partitioned))
     return ordered, quarantined
 
 
@@ -82,15 +105,30 @@ def run_pipeline(
     transcripts: DataFrame,
     persist: bool = True,
     with_verdict_attach: bool = True,
+    stage_dir: str | None = None,
 ) -> PipelineResult:
+    """If *stage_dir* is set, the enriched frame is materialized there as
+    parquet and re-read — the stage-table pattern a cluster pipeline uses
+    (cheaper than Spark's in-memory columnar cache for wide text columns,
+    and it survives executor loss).  Otherwise ``persist`` controls an
+    in-memory MEMORY_AND_DISK cache."""
     t0 = time.time()
     enriched, quarantined = build_enriched(spark, transcripts)
-    if persist:
+    if stage_dir:
+        enriched.write.mode("overwrite").parquet(f"{stage_dir}/enriched")
+        enriched = spark.read.parquet(f"{stage_dir}/enriched")
+    elif persist:
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
     tool_dim_df = dims_mod.tool_dim(spark)
     tool_tape = route.tool_tape(enriched, tool_dim_df)
-    if persist:
+    if stage_dir:
+        # stage the tool tape too: three sinks consume it, and concurrent
+        # sink jobs would otherwise race to fill (and redundantly compute)
+        # a lazy cache
+        tool_tape.write.mode("overwrite").parquet(f"{stage_dir}/tool_tape")
+        tool_tape = spark.read.parquet(f"{stage_dir}/tool_tape")
+    elif persist:
         tool_tape = tool_tape.persist(StorageLevel.MEMORY_AND_DISK)
 
     sinks: dict[str, DataFrame] = {
@@ -106,6 +144,21 @@ def run_pipeline(
     result.metrics["quarantined_rows"] = quarantined  # lazily counted by caller
     result.metrics["wall_start"] = t0
     return result
+
+
+def materialize_sinks(result: PipelineResult) -> dict[str, int]:
+    """Run every sink's job CONCURRENTLY (Spark's scheduler interleaves
+    independent jobs across the executor pool).  The serial alternative
+    leaves most cores idle during each small sink's tail — this is the
+    difference between Amdahl-bound and scalable wall-clock at high core
+    counts.  Returns row counts per sink."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(result.sinks)) as pool:
+        futures = {
+            name: pool.submit(df.count) for name, df in result.sinks.items()
+        }
+        return {name: f.result() for name, f in futures.items()}
 
 
 def run_metrics(

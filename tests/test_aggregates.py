@@ -80,6 +80,22 @@ class TestTasksFold:
         assert got[0]["n_updates"] == 2
 
 
+class TestTasksFoldParity:
+    def test_native_matches_grouped_pandas(self, result):
+        """The native window/max_by tasks fold must equal the grouped-map
+        pandas transcription of the reference replay, row for row."""
+        tape = result.sinks["tool_tape"]
+        native = {
+            r["conv_id"]: (r["tasks_json"], r["n_tasks"], r["n_updates"])
+            for r in agg.tasks_fold(tape).collect()
+        }
+        grouped = {
+            r["conv_id"]: (r["tasks_json"], r["n_tasks"], r["n_updates"])
+            for r in agg.tasks_fold_grouped(tape).collect()
+        }
+        assert native == grouped
+
+
 class TestStatusLadder:
     def test_git_wins_over_errors(self, spark):
         # conv with git activity AND high error rate -> completed (sticky git)
