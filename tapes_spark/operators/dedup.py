@@ -226,10 +226,15 @@ def minhash_lsh_pairs(
     tok = _token_sets(docs, text_col)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     t1 = tok.select(F.col("doc_id").alias("doc1"), "token")
-    t2 = tok.select(F.col("doc_id").alias("doc2"), F.col("token").alias("token2"))
+    t2 = tok.select(F.col("doc_id").alias("t2_doc"), F.col("token").alias("token2"))
     shared = (
         candidates.join(t1, "doc1")
-        .join(t2, (F.col("doc2") == t2["doc2"]) & (F.col("token") == F.col("token2")), "inner")
+        .join(
+            t2,
+            (F.col("doc2") == F.col("t2_doc"))
+            & (F.col("token") == F.col("token2")),
+            "inner",
+        )
         .groupBy("doc1", "doc2")
         .agg(F.countDistinct("token").alias("shared"))
     )

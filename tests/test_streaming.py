@@ -1,0 +1,105 @@
+"""Structured Streaming gates: the streaming derive must produce sinks
+byte-identical to the batch path over the same rows (ST6), and the
+windowed stats stream must run stateful aggregation with a watermark."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tapes_spark.fixtures import ARROW_SCHEMA, generate_transcripts
+from tapes_spark.pipeline import run_pipeline
+from tapes_spark.streaming import start_streaming_derive, streaming_conv_stats
+from tapes_spark.tapelog import SinkWriter
+
+
+def _write_chunks(dirpath: str, n_chunks: int = 3) -> int:
+    """Write the unit corpus as n parquet files (arriving 'micro-batches')."""
+    import pyarrow as pa
+
+    os.makedirs(dirpath, exist_ok=True)
+    rows = generate_transcripts(8, 12, 42)
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        cols = list(zip(*chunk))
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, ARROW_SCHEMA)],
+            schema=ARROW_SCHEMA,
+        )
+        pq.write_table(table, os.path.join(dirpath, f"chunk-{i}.parquet"))
+    return len(rows)
+
+
+def _comparable(df):
+    cols = [
+        F.to_json(F.col(f.name)).alias(f.name)
+        if f.dataType.typeName() in ("map", "array", "struct")
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(cols)
+
+
+@pytest.mark.slow
+def test_streaming_derive_matches_batch(spark, transcripts, tmp_path):
+    input_dir = str(tmp_path / "arrivals")
+    sink_dir = str(tmp_path / "stream_sinks")
+    n_rows = _write_chunks(input_dir, n_chunks=3)
+
+    q = start_streaming_derive(spark, input_dir, sink_dir, trigger_seconds=1)
+    try:
+        deadline = time.time() + 120
+        writer = SinkWriter(spark, sink_dir)
+        while time.time() < deadline:
+            q.processAllAvailable()
+            sid = writer.tables["conversation_tape"].current_snapshot_id()
+            if sid:
+                from tapes_spark.tapelog import TapeTable
+
+                raw = TapeTable(spark, f"{sink_dir}/_raw_input")
+                if raw.read().count() == n_rows:
+                    # one more pass in case the last batch landed raw rows
+                    # but the derive of them is in flight
+                    q.processAllAvailable()
+                    break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    writer = SinkWriter(spark, sink_dir)
+    batch = run_pipeline(spark, transcripts)
+    for name in ("conversation_tape", "tool_tape", "error_tape",
+                 "conv_aggregates"):
+        got = _comparable(writer.read(name))
+        want = _comparable(batch.sinks[name])
+        assert got.exceptAll(want).count() == 0, name
+        assert want.exceptAll(got).count() == 0, name
+
+
+@pytest.mark.slow
+def test_streaming_conv_stats_runs(spark, tmp_path):
+    input_dir = str(tmp_path / "arrivals2")
+    _write_chunks(input_dir, n_chunks=2)
+    stats = streaming_conv_stats(spark, input_dir, "5 minutes", "10 minutes")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("conv_stats_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits only watermark-closed windows; the final
+        # windows stay open, so just assert the query ran and state exists
+        assert q.lastProgress is not None
+        n_state = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert n_state > 0
+    finally:
+        q.stop()

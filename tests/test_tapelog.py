@@ -1,0 +1,171 @@
+"""TapeTable / SinkWriter / IncrementalDeriver gates — snapshot isolation,
+idempotent MERGE+prune, resume-after-kill byte-equality, late-data
+re-derive (SURVEY.md §2.8, §2.10; build plan steps 6-7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tapes_spark.pipeline import run_pipeline
+from tapes_spark.tapelog import IncrementalDeriver, SinkWriter, TapeTable
+
+
+def _comparable(df):
+    cols = [
+        F.to_json(F.col(f.name)).alias(f.name)
+        if f.dataType.typeName() in ("map", "array", "struct")
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(cols)
+
+
+def _same(a, b) -> bool:
+    a, b = _comparable(a), _comparable(b)
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestTapeTable:
+    def test_append_and_time_travel(self, spark, tmp_path):
+        t = TapeTable(spark, str(tmp_path / "t1"))
+        df1 = spark.createDataFrame([("a", 1)], "conv_id string, v int")
+        df2 = spark.createDataFrame([("b", 2)], "conv_id string, v int")
+        s1 = t.append(df1)
+        s2 = t.append(df2)
+        assert t.read(s1).count() == 1
+        assert t.read(s2).count() == 2
+        assert t.current_snapshot_id() == s2
+        assert [m["snapshot_id"] for m in t.snapshots()] == [s1, s2]
+
+    def test_incremental_read(self, spark, tmp_path):
+        t = TapeTable(spark, str(tmp_path / "t2"))
+        s1 = t.append(spark.createDataFrame([("a", 1)], "conv_id string, v int"))
+        assert t.read_incremental(s1) is None
+        t.append(spark.createDataFrame([("b", 2)], "conv_id string, v int"))
+        delta = t.read_incremental(s1)
+        assert [r["conv_id"] for r in delta.collect()] == ["b"]
+
+    def test_overwrite_partitions_merge_prune(self, spark, tmp_path):
+        t = TapeTable(spark, str(tmp_path / "t3"))
+        t.append(
+            spark.createDataFrame(
+                [("a", 1), ("a", 2), ("b", 10)], "conv_id string, v int"
+            )
+        )
+        # re-derive conv a: one row now (prune a's stale row, keep b)
+        t.overwrite_partitions(
+            spark.createDataFrame([("a", 99)], "conv_id string, v int"),
+            "conv_id",
+            ["a"],
+        )
+        got = sorted((r["conv_id"], r["v"]) for r in t.read().collect())
+        assert got == [("a", 99), ("b", 10)]
+
+    def test_lineage_recorded(self, spark, tmp_path):
+        t = TapeTable(spark, str(tmp_path / "t4"))
+        s = t.append(
+            spark.createDataFrame([("a", 1)], "conv_id string, v int"),
+            lineage={"run_id": "r1", "fingerprint": "f1"},
+        )
+        m = t.manifest(s)
+        assert m["lineage"] == {"run_id": "r1", "fingerprint": "f1"}
+        assert m["operation"] == "append"
+
+
+class TestSinkWriterResume:
+    def test_resume_after_partial_failure(self, spark, transcripts, tmp_path):
+        """Kill between sinks, re-submit, final state byte-identical to a
+        clean single run (build plan step 7)."""
+        res = run_pipeline(spark, transcripts)
+        fingerprint = "in:1"
+
+        clean = SinkWriter(spark, str(tmp_path / "clean"))
+        clean.write_all(res.sinks, "run-clean", fingerprint)
+
+        crashed = SinkWriter(spark, str(tmp_path / "crashed"))
+        partial = {
+            k: res.sinks[k] for k in ("conversation_tape", "tool_tape")
+        }
+        crashed.write_all(partial, "run-1", fingerprint)  # "crash" here
+
+        resumed = crashed.write_all(res.sinks, "run-2", fingerprint)
+        # the two already-committed sinks were skipped
+        assert resumed["conversation_tape"] is None
+        assert resumed["tool_tape"] is None
+        assert resumed["error_tape"] is not None
+
+        for name in res.sinks:
+            assert _same(clean.read(name), crashed.read(name)), name
+
+    def test_metrics_tape_appends(self, spark, transcripts, tmp_path):
+        res = run_pipeline(spark, transcripts)
+        w = SinkWriter(spark, str(tmp_path / "m"))
+        w.write_all(res.sinks, "run-1", "in:1")
+        metrics = w.metrics.read()
+        names = {r["metric"] for r in metrics.collect()}
+        assert "sink_conversation_tape_rows" in names
+        assert "write_all_sec" in names
+        assert metrics.filter(F.col("run_id") == "run-1").count() > 0
+
+
+class TestIncrementalDerive:
+    @pytest.fixture()
+    def setup(self, spark, transcripts, tmp_path):
+        input_tape = TapeTable(spark, str(tmp_path / "input"))
+        input_tape.append(transcripts)
+        writer = SinkWriter(spark, str(tmp_path / "sinks"))
+        return input_tape, writer
+
+    def test_initial_pass_then_noop(self, spark, setup):
+        input_tape, writer = setup
+        d = IncrementalDeriver(spark, input_tape, writer)
+        r1 = d.process("run-1")
+        assert r1["dirty"] == 8
+        r2 = d.process("run-2")
+        assert r2["skipped"]
+
+    def test_late_data_rederives_only_dirty_conv(self, spark, transcripts, setup):
+        input_tape, writer = setup
+        d = IncrementalDeriver(spark, input_tape, writer)
+        d.process("run-1")
+        before_other = writer.read("conversation_tape").filter(
+            F.col("conv_id") != "conv-000000"
+        )
+
+        # a late turn lands in conv-000000 (ST7: never late-dropped)
+        late = transcripts.filter(
+            (F.col("conv_id") == "conv-000000") & (F.col("turn_idx") == 0)
+        ).withColumn("turn_idx", F.lit(9999).cast("int")).withColumn(
+            "text", F.lit("late arriving user turn")
+        ).withColumn("role", F.lit("user"))
+        input_tape.append(late)
+
+        r = d.process("run-2")
+        assert r["dirty"] == 1
+
+        after = writer.read("conversation_tape")
+        # the dirty conv gained a trace; others byte-identical
+        assert _same(
+            before_other, after.filter(F.col("conv_id") != "conv-000000")
+        )
+        n_traces = after.filter(F.col("conv_id") == "conv-000000").count()
+        assert n_traces > 0
+        # the late turn shows up in the re-derived conversation
+        agg = writer.read("conv_aggregates").filter(
+            F.col("conv_id") == "conv-000000"
+        ).collect()[0]
+        assert agg["turn_count"] == 17  # 16 original + 1 late
+
+    def test_rederive_is_idempotent(self, spark, setup):
+        input_tape, writer = setup
+        d = IncrementalDeriver(spark, input_tape, writer)
+        d.process("run-1")
+        snap_before = {
+            n: t.current_snapshot_id() for n, t in writer.tables.items()
+        }
+        d.process("run-2")  # no new input
+        snap_after = {
+            n: t.current_snapshot_id() for n, t in writer.tables.items()
+        }
+        assert snap_before == snap_after
