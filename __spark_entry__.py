@@ -599,6 +599,78 @@ FROM s GROUP BY lang
 """
 
 
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.textstats import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_quality_score(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("type_token_ratio"), 4).alias("avg_ttr"),
+        )
+    )
+
+
+def _quality_sql() -> str:
+    from tapes_spark.operators.textstats import ALL_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT source,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), s AS (
+  SELECT source,
+         len(toks) AS n,
+         len(list_filter(toks, x -> list_contains([{stoplist}], x))) AS n_stop,
+         len(list_distinct(toks)) AS n_dist,
+         n_punct, n_chars
+  FROM t
+), q AS (
+  SELECT source,
+         round(CASE WHEN n > 0 THEN n_stop / n ELSE 0 END, 4) AS stop_ratio,
+         round(CASE WHEN n > 0 THEN n_dist / n ELSE 0 END, 4) AS ttr,
+         round(0.4 * (CASE WHEN n > 0 THEN n_stop / n ELSE 0 END)
+             + 0.3 * (CASE WHEN n > 0 THEN n_dist / n ELSE 0 END)
+             + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                            ELSE 0 END), 4) AS quality
+  FROM s
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(quality), 4) AS avg_quality,
+       round(avg(stop_ratio), 4) AS avg_stopword_ratio,
+       round(avg(ttr), 4) AS avg_ttr
+FROM q GROUP BY source
+"""
+
+
+# non-SQL-expressible ops: registered WITHOUT an oracle — the driver
+# records the weaker rows-only check (per the contract); their real
+# correctness gates are tests/test_dedup_similarity.py (LSH recall vs
+# brute force, SimHash hamming bounds)
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
 # --------------------------------------------------------------------------
 # similarity: brute-force cosine top-k over embeddings
 # --------------------------------------------------------------------------
@@ -645,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "quality_by_source": q_quality_by_source,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -668,4 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL,
         "lang_id": _lang_id_sql(),
         "cosine_topk": _COSINE_SQL,
+        "quality_by_source": _quality_sql(),
+        # minhash_lsh_pairs / simhash_pairs intentionally absent: signature
+        # generation is not SQL-expressible; driver runs rows-only checks
     }

@@ -44,17 +44,22 @@ spark = get_spark("tapes-bench-{cores}", parallelism={cores},
                                "spark.sql.files.openCostInBytes": "0"}})
 tx = spark.read.parquet({path!r})
 turns = tx.count()
-# warmup pass: JIT-compile the whole plan + warm page cache, then measure
-# the steady-state run (what a long-running cluster job actually sees)
+# warmup pass (JIT + page cache), then min of two measured steady-state
+# runs — this sandbox's effective CPU throughput fluctuates (shared host),
+# so a single sample is unreliable; min is the least-noise estimator
 warm = run_pipeline(spark, tx, stage_dir=stage + "_warm")
 materialize_sinks(warm)
-t0 = time.time()
-res = run_pipeline(spark, tx, stage_dir=stage)
-materialize_sinks(res)
-wall = time.time() - t0
 shutil.rmtree(stage + "_warm", ignore_errors=True)
+walls = []
+for i in range(2):
+    shutil.rmtree(stage, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, tx, stage_dir=stage)
+    materialize_sinks(res)
+    walls.append(time.time() - t0)
 shutil.rmtree(stage, ignore_errors=True)
-print("BENCH_RESULT " + json.dumps({{"wall": wall, "turns": turns}}))
+print("BENCH_RESULT " + json.dumps(
+    {{"wall": min(walls), "walls": walls, "turns": turns}}))
 """
 
 
@@ -76,7 +81,7 @@ def _run_pipeline_level(cores: int, path: str) -> tuple[float, int]:
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
             d = json.loads(line[len("BENCH_RESULT "):])
-            return d["wall"], d["turns"]
+            return d["wall"], d["turns"], d["walls"]
     raise RuntimeError(
         f"bench child ({cores} cores) failed:\n{out.stdout[-2000:]}\n"
         f"{out.stderr[-2000:]}"
@@ -88,8 +93,8 @@ def main() -> None:
     total = 0.0
 
     path = _bench_table()
-    wall_lo, _ = _run_pipeline_level(LOW_CPUS, path)
-    wall_hi, turns = _run_pipeline_level(CPUS, path)
+    wall_lo, _, walls_lo = _run_pipeline_level(LOW_CPUS, path)
+    wall_hi, turns, walls_hi = _run_pipeline_level(CPUS, path)
     tps_hi = turns / wall_hi
     tps_lo = turns / wall_lo
     scaling_eff = (tps_hi / tps_lo) / (CPUS / LOW_CPUS)
@@ -99,6 +104,8 @@ def main() -> None:
         "cores_lo": LOW_CPUS,
         "wall_sec_hi": round(wall_hi, 3),
         "wall_sec_lo": round(wall_lo, 3),
+        "walls_hi": [round(w, 1) for w in walls_hi],
+        "walls_lo": [round(w, 1) for w in walls_lo],
         "turns_per_sec_hi": round(tps_hi, 1),
         "turns_per_sec_lo": round(tps_lo, 1),
         "scaling_efficiency": round(scaling_eff, 3),

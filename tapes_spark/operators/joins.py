@@ -249,18 +249,65 @@ def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def attach_verdicts(df: DataFrame) -> DataFrame:
-    """J3 entry: grouped-map fold per conv_id (applyInPandas).
+def _attach_verdicts_partition(batches):
+    """mapInPandas fold: whole Arrow batches, one pandas groupby per batch,
+    with carry-over buffering so a conversation straddling a batch
+    boundary folds exactly once.  Per-GROUP applyInPandas overhead
+    (~0.5ms x 10^4-10^5 conversations) dominated the sink at scale; this
+    path pays per-BATCH overhead instead."""
+    import pandas as pd
 
-    Only conversations that actually contain a check turn are shipped to
-    Python — the semi-join filter keeps the Arrow transfer proportional to
-    the (rare) permission-check traffic, not the whole table.
+    carry: pd.DataFrame | None = None
+    carry_conv = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            if pdf["conv_id"].iloc[0] == carry_conv:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            else:
+                yield _attach_verdicts_pdf(carry)
+            carry = None
+        last_conv = pdf["conv_id"].iloc[-1]
+        tail = pdf[pdf["conv_id"] == last_conv]
+        head = pdf[pdf["conv_id"] != last_conv]
+        if not head.empty:
+            out = head.groupby("conv_id", sort=False, group_keys=False).apply(
+                _attach_verdicts_pdf
+            )
+            if not out.empty:
+                yield out.reset_index(drop=True)
+        carry, carry_conv = tail.copy(), last_conv
+    if carry is not None and not carry.empty:
+        yield _attach_verdicts_pdf(carry)
+
+
+def attach_verdicts(df: DataFrame) -> DataFrame:
+    """J3 entry: partitioned mapInPandas fold.
+
+    Two narrowing steps keep the Arrow transfer proportional to the (rare)
+    permission-check traffic: a semi-join on check-bearing conversations,
+    then a row filter to only the rows the matcher reads — tool calls,
+    ``<transcript>``-bearing user turns, and the check turns themselves.
+    Rows are co-partitioned and sorted by (conv_id, turn_idx) so the fold
+    sees each conversation contiguously in capture order.
     """
     has_check = df.filter(F.col("call_kind") == "check").select("conv_id").distinct()
-    narrow = df.join(has_check, "conv_id", "left_semi").select(
-        "conv_id", "turn_idx", "role", "tool", "text", "call_kind",
-        "verdict_disposition",
+    relevant = (
+        ((F.col("role") == "assistant") & (F.col("tool") != ""))
+        | ((F.col("role") == "user") & F.col("text").contains("<transcript>"))
+        | (F.col("call_kind") == "check")
     )
-    return narrow.groupBy("conv_id").applyInPandas(
-        _attach_verdicts_pdf, schema=_VERDICT_ATTACH_SCHEMA
+    narrow = (
+        df.filter(relevant)
+        .join(has_check, "conv_id", "left_semi")
+        .select(
+            "conv_id", "turn_idx", "role", "tool", "text", "call_kind",
+            "verdict_disposition",
+        )
+        .repartition("conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    return narrow.mapInPandas(
+        _attach_verdicts_partition, schema=_VERDICT_ATTACH_SCHEMA
     )

@@ -95,7 +95,11 @@ def build_enriched(
         enrich_role(classified, dims_mod.role_dim(spark)),
         dims_mod.pricing_dim(spark),
     )
-    co_partitioned = enriched.repartition("conv_id")
+    # explicit partition count: column-only repartition lets AQE coalesce
+    # to ~64MB advisory partitions, capping downstream parallelism below
+    # the core count (observed: 12 tasks on 32 cores)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    co_partitioned = enriched.repartition(n_parts, "conv_id")
     ordered = agg.with_traces(with_first_capture(co_partitioned))
     return ordered, quarantined
 
