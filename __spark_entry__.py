@@ -599,6 +599,40 @@ FROM s GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# J4-style as-of attach: each error event -> most recent preceding purchase
+# --------------------------------------------------------------------------
+
+def q_asof_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")), True
+    ).over(w)
+    return (
+        ev.withColumn("prior_purchase_event_id", prior)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", "prior_purchase_event_id")
+    )
+
+
+_ASOF_SQL = """
+SELECT user_id, event_id, prior_purchase_event_id
+FROM (
+  SELECT user_id, event_id, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                    IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS prior_purchase_event_id
+  FROM events
+) WHERE event_type = 'error'
+"""
+
+
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tapes_spark.operators.textstats import with_quality_score
 
@@ -718,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "quality_by_source": q_quality_by_source,
+        "asof_attach": q_asof_attach,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
     }
@@ -744,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "cosine_topk": _COSINE_SQL,
         "quality_by_source": _quality_sql(),
+        "asof_attach": _ASOF_SQL,
         # minhash_lsh_pairs / simhash_pairs intentionally absent: signature
         # generation is not SQL-expressible; driver runs rows-only checks
     }

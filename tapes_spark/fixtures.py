@@ -280,8 +280,14 @@ def _build_conv(idx: int, n_convs: int, median_turns: int, seed: int) -> list[tu
                     f"{_model_marker(rng)} {_usage_marker(rng)} [stop_reason: end_turn]")
         c.assistant("[SUGGESTION MODE] try running the linter\n"
                     f"{_model_marker(rng)} {_usage_marker(rng)} [stop_reason: end_turn]")
+        # WebFetch call precedes the web-summary turn so the J4 as-of
+        # attach has a genuine target; same for ExitPlanMode / J5
+        _tool_exchange(c, rng, tool="WebFetch",
+                       command='{"url": "https://spark.apache.org/aqe"}')
         c.user("Web page content: <title>Spark AQE docs</title> body text here")
         c.assistant(_assistant_text(rng))
+        _tool_exchange(c, rng, tool="ExitPlanMode",
+                       command='{"plan": "refactor pipeline"}')
         c.user("<conversation>plan: refactor pipeline</conversation>")
         c.assistant(_assistant_text(rng))
         while len(c.rows) < n_turns:

@@ -44,7 +44,11 @@ from tapes_spark.operators import aggregate as agg
 from tapes_spark.operators import route
 from tapes_spark.operators.classify import with_call_kind
 from tapes_spark.operators.enrich import enrich_pricing, enrich_role
-from tapes_spark.operators.joins import attach_verdicts, with_first_capture
+from tapes_spark.operators.joins import (
+    attach_asof,
+    attach_verdicts,
+    with_first_capture,
+)
 from tapes_spark.operators.parse import with_parsed_features
 
 VALID_ROLES = ("user", "assistant", "tool", "system")
@@ -143,6 +147,12 @@ def run_pipeline(
     }
     if with_verdict_attach:
         sinks["verdict_attachments"] = attach_verdicts(enriched)
+    # J4/J5 as-of attachments: web summaries -> most recent preceding
+    # WebFetch/WebSearch call; plan-name turns -> preceding ExitPlanMode
+    sinks["web_attachments"] = attach_asof(
+        enriched, "web", ["WebFetch", "WebSearch"]
+    )
+    sinks["plan_attachments"] = attach_asof(enriched, "plan", ["ExitPlanMode"])
 
     result = PipelineResult(enriched=enriched, sinks=sinks)
     result.metrics["quarantined_rows"] = quarantined  # lazily counted by caller
@@ -194,6 +204,46 @@ def run_metrics(
          float(time.time() - result.metrics.get("wall_start", time.time())))
     )
     return spark.createDataFrame(counters, ["run_id", "metric", "value"])
+
+
+REPORT_SAMPLE_CAP = 20  # "a wholly broken pass doesn't produce a megabyte
+# of strings" (reference deriver.go:93-95)
+
+
+def derive_report(result: PipelineResult) -> dict:
+    """A8: per-pass derive report — counters + CAPPED samples.
+
+    Mirrors the reference's DeriveReport (deriver.go:95-128): quarantined
+    turn samples and unattached check turns are capped at 20; histograms
+    are full.  Caps are explicit in the output, never silent.
+    """
+    enriched = result.enriched
+    report: dict = {"sample_cap": REPORT_SAMPLE_CAP}
+    report["call_kind_histogram"] = {
+        r["call_kind"]: r["count"]
+        for r in enriched.groupBy("call_kind").count().collect()
+    }
+    quarantined = result.metrics.get("quarantined_rows")
+    if quarantined is not None and not isinstance(quarantined, (int, float)):
+        report["quarantined_count"] = quarantined.count()
+        report["quarantined_samples"] = [
+            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+             "role": r["role"]}
+            for r in quarantined.limit(REPORT_SAMPLE_CAP).collect()
+        ]
+    if "verdict_attachments" in result.sinks:
+        va = result.sinks["verdict_attachments"]
+        unattached = va.filter(F.col("tool_turn_idx").isNull())
+        report["verdicts_total"] = va.count()
+        report["verdicts_unattached"] = unattached.count()
+        report["unattached_samples"] = [
+            {"conv_id": r["conv_id"], "check_turn_idx": r["check_turn_idx"]}
+            for r in unattached.limit(REPORT_SAMPLE_CAP).collect()
+        ]
+    for name in ("web_attachments", "plan_attachments"):
+        if name in result.sinks:
+            report[f"{name}_count"] = result.sinks[name].count()
+    return report
 
 
 def windowed_stats(result: PipelineResult, since=None, until=None) -> DataFrame:

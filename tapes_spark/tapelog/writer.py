@@ -30,6 +30,8 @@ SINK_NAMES = (
     "error_tape",
     "conv_aggregates",
     "verdict_attachments",
+    "web_attachments",
+    "plan_attachments",
 )
 
 

@@ -15,30 +15,37 @@ from pyspark.sql import functions as F
 from tapes_spark.pipeline import run_pipeline
 
 # ---- pinned golden counts for the seed-42 unit corpus (8 convs, 12 med) ----
-PINNED_INPUT_ROWS = 789
+# re-pinned 2026-08-16: shadow conv gained WebFetch + ExitPlanMode
+# exchanges so the J4/J5 as-of attachments have genuine targets
+PINNED_INPUT_ROWS = 793
 PINNED_QUARANTINED = 1  # the unknown-role row (C6/C7: counted, never dropped)
 PINNED_KINDS = {
     "check": 1,
     "compaction": 1,
-    "main": 390,
+    "main": 392,
     "plan": 1,
     "prompt": 193,
     "suggestion": 1,
     "title": 1,
-    "tool_result": 199,
+    "tool_result": 201,
     "web": 1,
 }
 PINNED_SINKS = {
     "conversation_tape": 193,
-    "tool_tape": 199,
+    "tool_tape": 201,
     "error_tape": 18,
     "conv_aggregates": 8,
     "verdict_attachments": 1,
+    "web_attachments": 1,
+    "plan_attachments": 1,
 }
 PINNED_ERROR_SOURCES = {"stop_error": 1, "tool_error": 16, "verdict_block": 1}
-PINNED_TOOL_PAIRED = 199
+PINNED_TOOL_PAIRED = 201
 PINNED_TOOL_ERRORS = 16
 PINNED_DUP_CAPTURES = 202
+# J4/J5: attacher turn -> consumed target call (conv-000004 shadow conv)
+PINNED_WEB_ATTACH = [("conv-000004", 9, 7, "WebFetch")]
+PINNED_PLAN_ATTACH = [("conv-000004", 13, 11, "ExitPlanMode")]
 PINNED_STATUSES = {
     "conv-000000": "completed",
     "conv-000001": "completed",
@@ -110,6 +117,20 @@ class TestPinnedCounts:
             for r in result.sinks["verdict_attachments"].collect()
         ]
         assert got == PINNED_VERDICTS
+
+    def test_asof_attachments(self, result):
+        web = [
+            (r["conv_id"], r["attacher_turn_idx"], r["target_turn_idx"],
+             r["target_tool"])
+            for r in result.sinks["web_attachments"].collect()
+        ]
+        plan = [
+            (r["conv_id"], r["attacher_turn_idx"], r["target_turn_idx"],
+             r["target_tool"])
+            for r in result.sinks["plan_attachments"].collect()
+        ]
+        assert web == PINNED_WEB_ATTACH
+        assert plan == PINNED_PLAN_ATTACH
 
 
 class TestRoutedRowEquality:
