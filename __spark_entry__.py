@@ -709,6 +709,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity: brute-force cosine top-k over embeddings
 # --------------------------------------------------------------------------
 
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.similarity import cosine_dup_pairs_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs_brute(emb, threshold=0.5)
+
+
+_COSINE_DUP_SQL = """
+SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+      >= 0.5
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tapes_spark.operators.similarity import brute_cosine_topk
 
@@ -720,8 +737,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSINE_SQL = """
 SELECT vec_id,
        round(list_cosine_similarity(
-           embedding,
-           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+           embedding::DOUBLE[],
+           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)
+           AS cosine
 FROM embeddings
 WHERE vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC
@@ -751,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
         "quality_by_source": q_quality_by_source,
         "asof_attach": q_asof_attach,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -778,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL,
         "lang_id": _lang_id_sql(),
         "cosine_topk": _COSINE_SQL,
+        "cosine_dup_pairs": _COSINE_DUP_SQL,
         "quality_by_source": _quality_sql(),
         "asof_attach": _ASOF_SQL,
         # minhash_lsh_pairs / simhash_pairs intentionally absent: signature

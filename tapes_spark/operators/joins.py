@@ -38,7 +38,7 @@ from pyspark.sql.types import (
 )
 
 
-def is_tool_call(df_cols=None):
+def is_tool_call():
     return (F.col("role") == "assistant") & (F.col("tool") != "")
 
 

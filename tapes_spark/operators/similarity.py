@@ -106,6 +106,76 @@ def with_lsh_buckets(
     ).select("*", "_t.table_idx", "_t.bucket").drop("_t")
 
 
+def cosine_dup_pairs_brute(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS, exact all-pairs baseline.
+
+    O(n^2) — the sf0.01 oracle for the LSH path below, same role as
+    dedup.jaccard_pairs vs minhash_lsh_pairs.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("vec1"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec2"), F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, a["vec1"] < b["vec2"])
+    return (
+        pairs.withColumn(
+            "cosine", F.round(cosine_col(F.col("_va"), F.col("_vb")), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec1", "vec2", "cosine")
+    )
+
+
+def cosine_dup_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_tables: int = 12,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: candidate pairs share an LSH bucket in ANY table
+    (bucket equi-join, never all-pairs), then exact cosine re-check.
+
+    Recall vs the brute baseline is pytest-gated; at 0.9 cosine the
+    12-table x 8-bit configuration collides with probability
+    1-(1-(1-theta/pi)^8)^12 ~ 0.97.
+    """
+    bucketed = with_lsh_buckets(
+        embeddings, dim, n_tables, bits, seed, vec_col
+    ).select(id_col, vec_col, "table_idx", "bucket")
+    left = bucketed.select(
+        F.col(id_col).alias("vec1"), F.col(vec_col).alias("_va"),
+        "table_idx", "bucket",
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("vec2"), F.col(vec_col).alias("_vb"),
+        "table_idx", "bucket",
+    )
+    cand = (
+        left.join(right, ["table_idx", "bucket"])
+        .filter(F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", "_va", "_vb")
+        .dropDuplicates(["vec1", "vec2"])
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(cosine_col(F.col("_va"), F.col("_vb")), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec1", "vec2", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -78,6 +78,30 @@ class TestSimHash:
                 for p in pairs] == [(1, 2, 0)]
 
 
+class TestCosineDupPairs:
+    def test_lsh_recall_vs_brute(self, emb):
+        dim = len(emb.first()["embedding"])
+        brute = {
+            (r["vec1"], r["vec2"])
+            for r in similarity.cosine_dup_pairs_brute(emb, 0.9).collect()
+        }
+        lsh = {
+            (r["vec1"], r["vec2"])
+            for r in similarity.cosine_dup_pairs_lsh(emb, dim, 0.9).collect()
+        }
+        # exact re-check means no false positives; recall pytest-gated
+        assert lsh <= brute
+        if brute:
+            recall = len(lsh & brute) / len(brute)
+            assert recall >= 0.8, f"recall {recall}: {sorted(brute - lsh)[:5]}"
+
+    def test_deterministic(self, emb):
+        dim = len(emb.first()["embedding"])
+        a = sorted(map(tuple, similarity.cosine_dup_pairs_lsh(emb, dim, 0.9).collect()))
+        b = sorted(map(tuple, similarity.cosine_dup_pairs_lsh(emb, dim, 0.9).collect()))
+        assert a == b
+
+
 class TestCosineSimilarity:
     def test_lsh_topk_recall(self, emb):
         qvec = list(
