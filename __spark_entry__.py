@@ -77,9 +77,9 @@ WITH gaps AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
-  SELECT *, sum(is_new_session) OVER (
+  SELECT *, CAST(sum(is_new_session) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
-      ROWS UNBOUNDED PRECEDING) AS session_idx
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM gaps
 )
 SELECT user_id, session_idx,
@@ -440,7 +440,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
 FROM events GROUP BY event_type
 """
@@ -468,7 +469,7 @@ WITH g AS (
          count(*) AS n_copies
   FROM documents GROUP BY 1
 )
-SELECT count(*) AS n_distinct_texts, sum(n_copies) AS n_docs,
+SELECT count(*) AS n_distinct_texts, CAST(sum(n_copies) AS BIGINT) AS n_docs,
        count(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
 FROM g
 """
@@ -553,7 +554,7 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(token_count) AS total_tokens,
+       CAST(sum(token_count) AS BIGINT) AS total_tokens,
        round(avg(token_count), 4) AS avg_tokens,
        round(avg(distinct_token_count), 4) AS avg_distinct_tokens
 FROM t GROUP BY lang

@@ -35,11 +35,15 @@ def ddb():
 
 
 def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 4)
-    return v
+    """Render a value exactly as the driver's value-hash sees it: no
+    rounding, int vs float distinction preserved (DuckDB HUGEINT comes
+    through Arrow as float64 and must NOT silently equal Spark's int).
+    """
+    if v is None:
+        return "\0null"
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return str(v)
 
 
 def _rowset(rows):
@@ -61,13 +65,16 @@ def test_query_matches_oracle(spark, ddb, name):
     spark_rows = [
         tuple(row[c] for c in cols) for row in sdf.collect()
     ]
-    res = ddb.execute(sql)
-    oracle_cols = [d[0] for d in res.description]
+    # fetch through Arrow, like the driver: HUGEINT -> float64 (so an
+    # uncast sum(BIGINT) oracle mismatches Spark's int, exactly as the
+    # driver's hash does), BIGINT-with-nulls stays int64
+    tbl = ddb.execute(sql).fetch_arrow_table()
+    oracle_cols = list(tbl.column_names)
     assert sorted(oracle_cols) == cols, (
         f"{name}: column mismatch spark={cols} oracle={sorted(oracle_cols)}"
     )
-    idx = [oracle_cols.index(c) for c in cols]
-    oracle_rows = [tuple(r[i] for i in idx) for r in res.fetchall()]
+    pyrows = tbl.to_pylist()
+    oracle_rows = [tuple(d[c] for c in cols) for d in pyrows]
     assert len(spark_rows) == len(oracle_rows), (
         f"{name}: row count spark={len(spark_rows)} oracle={len(oracle_rows)}"
     )
