@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType, StructField, StructType
 
-# The 18-tag catalog (reference projection.go:23-56).  `command-*` and
+# The 19-tag catalog (reference projection.go:23-56).  `command-*` and
 # `local-command-*` families are enumerated explicitly.
 TAG_CATALOG: tuple[str, ...] = (
     "system-reminder",
@@ -42,6 +42,7 @@ TAG_CATALOG: tuple[str, ...] = (
     "command-args",
     "local-command-stdout",
     "local-command-stderr",
+    "local-command-caveat",
     "session",
     "conversation",
     "new-diagnostics",
@@ -59,7 +60,7 @@ TAG_CATALOG: tuple[str, ...] = (
 # Tags whose inner text is kept (unwrapped) by PreviewText
 # (projection.go:181-234 keeps session / conversation / command-args).
 CONTENT_BEARING_TAGS: frozenset[str] = frozenset(
-    {"session", "conversation", "command-args", "command-message"}
+    {"session", "conversation", "command-args"}
 )
 
 _OPEN_RE = re.compile(

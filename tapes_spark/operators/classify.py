@@ -57,12 +57,19 @@ COMPACTION_SECTIONS = (
     "Next Step",
 )
 
-# C2 ClassifyInjected whole-message prefixes (classify.go:199-231)
+# C2 ClassifyInjected whole-message prefixes (classify.go:199-231).
+# The mode-banner family is enumerated in full: classify.go:216-227 also
+# matches the exited/heading variants and the [SYSTEM NOTIFICATION marker.
 INJECTED_PREFIXES = (
     "# MCP Server Instructions",
     "The following skills are available",
     "<user_claude_md>",
     "Plan mode is active",
+    "Exited Plan Mode",
+    "## Exited Plan Mode",
+    "## Exit Plan Mode",
+    "## Plan Mode",
+    "[SYSTEM NOTIFICATION",
 )
 
 

@@ -61,13 +61,24 @@ def start_streaming_derive(
         .parquet(input_dir)
     )
 
+    # foreachBatch is at-least-once: a crash between input_tape.append and
+    # the streaming checkpoint commit replays the micro-batch.  The raw
+    # append must therefore be idempotent per batch_id — every append is
+    # stamped with run_id "stream-batch-{id}" and skipped on replay (the
+    # derive pass still runs; it is itself idempotent via the dirty-conv
+    # model, covering a crash between append and derive).
+    seen_runs: set[str] = {
+        m.get("lineage", {}).get("run_id") for m in input_tape.snapshots()
+    }
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        input_tape.append(
-            batch_df, lineage={"run_id": f"stream-batch-{batch_id}"}
-        )
-        deriver.process(f"stream-batch-{batch_id}")
+        run_id = f"stream-batch-{batch_id}"
+        if run_id not in seen_runs:
+            input_tape.append(batch_df, lineage={"run_id": run_id})
+            seen_runs.add(run_id)
+        deriver.process(run_id)
 
     return (
         stream.writeStream.queryName(query_name)

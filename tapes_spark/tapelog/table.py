@@ -16,9 +16,9 @@ Layout:
 Semantics:
   * append(df)                — new snapshot = parent files + new files
   * overwrite_partitions(df, keys) — the idempotent MERGE+prune (D3):
-        new snapshot = parent files MINUS files whose partition-column
-        value-set intersects the incoming keys, PLUS rewritten rows for
-        those keys.  Because derivation is a pure function with
+        new snapshot = parent files MINUS file groups whose hash-bucket
+        stats intersect the incoming keys' buckets, PLUS rewritten rows
+        for those keys.  Because derivation is a pure function with
         deterministic ids (D2), replacing a conversation's rows wholesale
         is exactly "upsert every emitted row + prune stale rows".
   * read(snapshot_id=None)    — current or time-travel read
@@ -39,8 +39,24 @@ import os
 import shutil
 import time
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Partition-pruning stats are hash-bucket sets, NOT value lists: a group's
+# manifest entry is the sorted set of crc32(str(value)) % _N_BUCKETS buckets
+# it contains — O(min(1024, distinct keys)) per group no matter how many
+# million conversations the table holds (real Iceberg manifests keep
+# file-level bounds for the same reason).  False positives only cost a
+# group rewrite; pruning is always safe.
+_N_BUCKETS = 1024
+
+
+def _key_bucket(v) -> int:
+    """Python-side bucket for a partition key; matches the Spark-side
+    expression crc32(cast(col as string)) % _N_BUCKETS exactly."""
+    return zlib.crc32(str(v).encode("utf-8")) % _N_BUCKETS
 
 try:  # pragma: no cover - exercised only on clusters with Iceberg jars
     import importlib.util
@@ -105,7 +121,7 @@ class TapeTable:
         files: list[str],
         operation: str,
         lineage: dict | None,
-        partition_values: dict[str, list] | None = None,
+        partition_buckets: dict[str, list[int]] | None = None,
     ) -> int:
         parent = self.current_snapshot_id()
         snapshot_id = (parent or 0) + 1
@@ -116,7 +132,7 @@ class TapeTable:
             "files": files,
             "committed_at_unix": time.time(),
             "lineage": lineage or {},
-            "partition_values": partition_values or {},
+            "partition_buckets": partition_buckets or {},
         }
         tmp = self._manifest_path(snapshot_id) + ".tmp"
         with open(tmp, "w") as f:
@@ -132,8 +148,8 @@ class TapeTable:
         _, new_files = self._write_data_group(df)
         parent = self.current_snapshot_id()
         prev_files = self.manifest(parent)["files"] if parent else []
-        prev_pv = self.manifest(parent).get("partition_values", {}) if parent else {}
-        return self._commit(prev_files + new_files, "append", lineage, prev_pv)
+        prev_pb = self.manifest(parent).get("partition_buckets", {}) if parent else {}
+        return self._commit(prev_files + new_files, "append", lineage, prev_pb)
 
     def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
         _, new_files = self._write_data_group(df)
@@ -149,50 +165,62 @@ class TapeTable:
         """D3: replace all rows whose partition_col is in *keys* with the
         incoming rows (which must only contain those keys).
 
-        File groups track which key values they contain; groups whose
-        value-set intersects *keys* are rewritten minus the replaced rows.
-        At Iceberg this is `overwritePartitions()`; here we rewrite the
-        affected groups (rows for unaffected keys are preserved).
+        File groups carry hash-bucket stats of the keys they contain;
+        groups whose bucket set intersects the incoming keys' buckets are
+        rewritten minus the replaced rows (a false positive only costs a
+        rewrite).  At Iceberg this is `overwritePartitions()`; here we
+        rewrite the affected groups (rows for unaffected keys preserved).
         """
         keyset = set(keys)
+        key_buckets = {_key_bucket(k) for k in keys}
         parent = self.current_snapshot_id()
         kept_files: list[str] = []
         rewritten: list[DataFrame] = []
-        prev_pv: dict[str, list] = {}
+        prev_pb: dict[str, list[int]] = {}
         if parent:
             m = self.manifest(parent)
-            prev_pv = m.get("partition_values", {})
+            prev_pb = m.get("partition_buckets", {})
+            # legacy manifests (pre-bucket) stored stringified value lists;
+            # compare string-to-string on both sides (a raw-typed key vs a
+            # str(v) entry never intersects — that bug silently kept stale
+            # rows), then fold into bucket space
+            for d, vals in m.get("partition_values", {}).items():
+                prev_pb.setdefault(d, sorted({_key_bucket(v) for v in vals}))
             groups: dict[str, list[str]] = {}
             for f in m["files"]:
                 groups.setdefault(os.path.dirname(f), []).append(f)
             for group_dir, files in groups.items():
-                vals = set(prev_pv.get(group_dir, []))
-                if vals and not (vals & keyset):
+                buckets = prev_pb.get(group_dir)
+                if buckets is not None and not (set(buckets) & key_buckets):
                     kept_files.extend(files)
                 else:
+                    # possible overlap (or no stats): rewrite minus keys
                     old = self.spark.read.parquet(
                         os.path.join(self.root, group_dir)
                     )
                     remaining = old.filter(~old[partition_col].isin(list(keyset)))
                     rewritten.append(remaining)
-        new_pv = dict(prev_pv)
         to_write = df
         for r in rewritten:
             to_write = to_write.unionByName(r)
         group, new_files = self._write_data_group(to_write)
         group_dir = os.path.join("data", group)
-        # record the value-set of the new group for future pruning
-        vals = [
-            r[0]
-            for r in self.spark.read.parquet(
-                os.path.join(self.root, group_dir)
-            ).select(partition_col).distinct().collect()
-        ]
-        new_pv = {d: v for d, v in new_pv.items()
+        # record the new group's bucket set for future pruning — bounded at
+        # _N_BUCKETS rows on the driver regardless of key cardinality
+        bucket_rows = (
+            self.spark.read.parquet(os.path.join(self.root, group_dir))
+            .select(
+                (F.crc32(F.col(partition_col).cast("string")) % _N_BUCKETS)
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        new_pb = {d: b for d, b in prev_pb.items()
                   if any(f.startswith(d) for f in kept_files)}
-        new_pv[group_dir] = sorted(str(v) for v in vals)
+        new_pb[group_dir] = sorted(int(r[0]) for r in bucket_rows)
         return self._commit(
-            kept_files + new_files, "overwrite_partitions", lineage, new_pv
+            kept_files + new_files, "overwrite_partitions", lineage, new_pb
         )
 
     # ------------------------------------------------------------- read

@@ -57,12 +57,26 @@ class TestStripHarnessTags:
         s = "<session>a <status>x</status> b</session>"
         assert preview_text(s) == "a  b"
 
-    def test_all_18_tags_stripped(self):
+    def test_all_19_tags_stripped(self):
+        # 19 tags mirroring reference HarnessTags (projection.go:23-56),
+        # including local-command-caveat
         from tapes_spark.functions.normalize import TAG_CATALOG
 
-        assert len(TAG_CATALOG) == 18
+        assert len(TAG_CATALOG) == 19
+        assert "local-command-caveat" in TAG_CATALOG
         for tag in TAG_CATALOG:
             assert strip_harness_tags(f"a <{tag}>x</{tag}> b") == "a  b"
+
+    def test_preview_wrapper_tags_match_reference(self):
+        # previewWrapperTags (projection.go:181-185) keeps ONLY
+        # session / conversation / command-args; command-message is
+        # stripped whole
+        from tapes_spark.functions.normalize import CONTENT_BEARING_TAGS
+
+        assert CONTENT_BEARING_TAGS == {"session", "conversation",
+                                        "command-args"}
+        assert preview_text("a <command-message>hidden</command-message> b") \
+            == "a  b"
 
 
 class TestWhitespace:

@@ -84,6 +84,48 @@ def test_streaming_derive_matches_batch(spark, transcripts, tmp_path):
 
 
 @pytest.mark.slow
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: losing the streaming checkpoint and
+    replaying every micro-batch must NOT duplicate raw rows (the appends
+    are idempotent per batch_id via lineage run_id)."""
+    import shutil
+
+    from tapes_spark.tapelog import TapeTable
+
+    input_dir = str(tmp_path / "arrivals3")
+    sink_dir = str(tmp_path / "stream_sinks3")
+    n_rows = _write_chunks(input_dir, n_chunks=2)
+
+    def run_once():
+        q = start_streaming_derive(spark, input_dir, sink_dir, trigger_seconds=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    raw = TapeTable(spark, f"{sink_dir}/_raw_input")
+    assert raw.read().count() == n_rows
+    writer = SinkWriter(spark, sink_dir)
+    before = sorted(
+        (r["conv_id"], r["turn_count"])
+        for r in writer.read("conv_aggregates").collect()
+    )
+
+    # simulate the crash-before-checkpoint-commit replay: wipe the
+    # checkpoint so every batch (same ids, same rows) is re-delivered
+    shutil.rmtree(f"{sink_dir}/_stream_checkpoint")
+    run_once()
+    assert raw.read().count() == n_rows  # no duplicate appends
+
+    after = sorted(
+        (r["conv_id"], r["turn_count"])
+        for r in writer.read("conv_aggregates").collect()
+    )
+    assert after == before  # downstream rollups not double-counted
+
+
+@pytest.mark.slow
 def test_streaming_conv_stats_runs(spark, tmp_path):
     input_dir = str(tmp_path / "arrivals2")
     _write_chunks(input_dir, n_chunks=2)

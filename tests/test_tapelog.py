@@ -62,6 +62,42 @@ class TestTapeTable:
         got = sorted((r["conv_id"], r["v"]) for r in t.read().collect())
         assert got == [("a", 99), ("b", 10)]
 
+    def test_overwrite_partitions_nonstring_keys(self, spark, tmp_path):
+        """Regression: int partition keys must prune stale rows too (the
+        stringified-manifest-vs-raw-keyset intersection bug silently kept
+        them, duplicating every replaced row)."""
+        t = TapeTable(spark, str(tmp_path / "t5"))
+        t.append(
+            spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string")
+        )
+        t.overwrite_partitions(
+            spark.createDataFrame([(1, "new")], "k int, v string"), "k", [1]
+        )
+        # second round exercises the bucket-stats prune path written above
+        t.overwrite_partitions(
+            spark.createDataFrame([(1, "newer")], "k int, v string"), "k", [1]
+        )
+        got = sorted((r["k"], r["v"]) for r in t.read().collect())
+        assert got == [(1, "newer"), (2, "keep")]
+
+    def test_manifest_stats_bounded(self, spark, tmp_path):
+        """Manifest pruning stats must be O(buckets), never O(keys)."""
+        t = TapeTable(spark, str(tmp_path / "t6"))
+        many = spark.range(5000).select(
+            F.concat(F.lit("conv-"), F.col("id")).alias("conv_id"),
+            F.col("id").alias("v"),
+        )
+        t.append(many)
+        s = t.overwrite_partitions(
+            spark.createDataFrame([("conv-1", -1)], "conv_id string, v bigint"),
+            "conv_id",
+            ["conv-1"],
+        )
+        m = t.manifest(s)
+        for buckets in m["partition_buckets"].values():
+            assert len(buckets) <= 1024
+        assert "partition_values" not in m
+
     def test_lineage_recorded(self, spark, tmp_path):
         t = TapeTable(spark, str(tmp_path / "t4"))
         s = t.append(
