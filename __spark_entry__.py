@@ -687,17 +687,23 @@ FROM q GROUP BY source
 """
 
 
-# non-SQL-expressible ops: registered WITHOUT an oracle — the driver
-# records the weaker rows-only check (per the contract); their real
-# correctness gates are tests/test_dedup_similarity.py (LSH recall vs
-# brute force, SimHash hamming bounds)
-
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs.  After exact-Jaccard verification of
+    the banded candidates, the output is the SAME quantity as the brute
+    Jaccard oracle — provided no true pair misses every band.  At 128
+    perms / 32 bands of 4 rows, P[miss] per pair at s=0.8 is
+    (1-0.8^4)^32 ~ 5e-8, so the Jaccard SQL doubles as this query's
+    oracle (upgraded from the round-1 rows-only check)."""
     from tapes_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.8)
+    return minhash_lsh_pairs(docs, num_perm=128, bands=32, threshold=0.8)
 
+
+# non-SQL-expressible op: registered WITHOUT an oracle — the driver
+# records the weaker rows-only check (per the contract); the real
+# correctness gates are tests/test_dedup_similarity.py (hamming bounds,
+# identical-text zero-hamming, determinism)
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tapes_spark.operators.dedup import simhash_pairs
@@ -801,6 +807,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dup_pairs": _COSINE_DUP_SQL,
         "quality_by_source": _quality_sql(),
         "asof_attach": _ASOF_SQL,
-        # minhash_lsh_pairs / simhash_pairs intentionally absent: signature
+        # minhash output == exact Jaccard at this threshold (see
+        # q_minhash_lsh_pairs docstring for the recall argument)
+        "minhash_lsh_pairs": _JACCARD_SQL,
+        # simhash_pairs intentionally absent: FNV/SimHash signature
         # generation is not SQL-expressible; driver runs rows-only checks
     }

@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 
 from tapes_spark.operators.textstats import tokens_col, with_fingerprint
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Explicit fan-out before mapInPandas: a single parquet file scans as
+    ONE task (and a broadcast join never repartitions its stream side), so
+    without this the signature generation AND every downstream stage of
+    the LSH band join would run at parallelism 1.  Explicit count because
+    AQE coalesces a bare repartition(col) to ~64MB advisory partitions.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, "doc_id")
+
+
 # -------------------------------------------------------------- exact
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -115,11 +126,81 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+def hash_token(tok: str) -> int:
+    """Deterministic 61-bit token hash (FNV-1a), stable across processes
+    (python's hash() is salted per-process — unusable for distributed
+    determinism).  Reference semantics for :func:`_fnv_hashes`; the hot
+    path never calls this per token."""
+    h = 0xCBF29CE484222325
+    for byte in tok.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _MERSENNE
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv_hashes(tokens) -> np.ndarray:
+    """Vectorized FNV-1a over an array of strings — bit-identical to
+    :func:`hash_token` but folded across ALL tokens at once: tokens are
+    packed into a padded byte matrix and the hash state advances one byte
+    POSITION per numpy op instead of one byte per Python op.  Cost is
+    O(max_token_len) vector ops per call, not O(total_bytes) Python ops.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(e) for e in encoded), count=n, dtype=np.int64)
+    maxlen = int(lens.max())
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen > 0:
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        mask = np.arange(maxlen)[None, :] < lens[:, None]
+        buf = np.zeros((n, maxlen), dtype=np.uint8)
+        buf[mask] = flat  # boolean assignment fills row-major = concat order
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                m = mask[:, j]
+                h[m] = (h[m] ^ buf[m, j]) * _FNV_PRIME
+    return h % np.uint64(_MERSENNE)
+
+
+def _batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct-token hashes for a whole Arrow batch.
+
+    Returns (hashes, offsets): ``hashes[offsets[i]:offsets[i+1]]`` are the
+    hashes of doc i's distinct tokens.  Each batch-distinct token is FNV'd
+    exactly once (np.unique inverse mapping) — near-dup corpora share most
+    of their vocabulary, so this is a large constant-factor win on top of
+    the vectorized FNV.
+    """
+    tok_lists = [list(set(str(t).split())) for t in texts]
+    n = len(tok_lists)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    all_toks: list[str] = []
+    for i, ts in enumerate(tok_lists):
+        all_toks.extend(ts)
+        offsets[i + 1] = len(all_toks)
+    if not all_toks:
+        return np.empty(0, dtype=np.uint64), offsets
+    uniq, inv = np.unique(np.array(all_toks, dtype=object), return_inverse=True)
+    return _fnv_hashes(uniq)[inv], offsets
+
+
 def minhash_signatures(
     docs: DataFrame, num_perm: int = 64, seed: int = 42, text_col: str = "text"
 ) -> DataFrame:
-    """doc_id -> array<bigint> MinHash signature, computed with vectorized
-    numpy inside mapInPandas (no per-row Python)."""
+    """doc_id -> array<bigint> MinHash signature.
+
+    Fully batch-vectorized inside mapInPandas: one FNV pass over the
+    batch vocabulary, then per permutation a single (a*h+b) mod p vector
+    op over every token in the batch with a segmented min
+    (np.minimum.reduceat) per doc.  No per-doc or per-token Python in the
+    hot path (the round-1 per-token FNV loop was the 100 TB bottleneck).
+    """
     from pyspark.sql.types import (
         ArrayType,
         LongType,
@@ -137,37 +218,29 @@ def minhash_signatures(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                toks = list({t for t in str(text).split() if t})
-                if not toks:
-                    sigs.append([0] * num_perm)
-                    continue
-                # stable 64-bit token hashes via numpy (vectorized mins)
-                hashes = np.array(
-                    [hash_token(t) for t in toks], dtype=np.uint64
-                )
-                # (a * h + b) mod p for all perms x tokens
-                vals = (
-                    np.outer(a_params, hashes) + b_params[:, None]
-                ) % _MERSENNE
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            n = len(pdf)
+            hashes, offsets = _batch_token_hashes(pdf[text_col])
+            sig_mat = np.zeros((n, num_perm), dtype=np.int64)
+            nonempty = offsets[:-1] < offsets[1:]
+            starts = offsets[:-1][nonempty]
+            if hashes.size:
+                with np.errstate(over="ignore"):
+                    for i in range(num_perm):
+                        vals = (a_params[i] * hashes + b_params[i]) % np.uint64(
+                            _MERSENNE
+                        )
+                        # empty segments were dropped from starts, so each
+                        # reduceat span covers exactly one doc's tokens
+                        sig_mat[nonempty, i] = np.minimum.reduceat(
+                            vals, starts
+                        ).astype(np.int64)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "signature": sigs}
+                {"doc_id": pdf["doc_id"].values, "signature": list(sig_mat)}
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(compute, out_schema)
-
-
-def hash_token(tok: str) -> int:
-    """Deterministic 61-bit token hash (FNV-1a), stable across processes
-    (python's hash() is salted per-process — unusable for distributed
-    determinism)."""
-    h = 0xCBF29CE484222325
-    for byte in tok.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h % _MERSENNE
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(
+        compute, out_schema
+    )
 
 
 def minhash_lsh_pairs(
@@ -187,67 +260,94 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, num_perm, seed, text_col)
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.sha2(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[i * rows_per_band + j]
-                                for j in range(rows_per_band)
-                            ],
-                        ),
-                        256,
-                    ).alias("band_hash"),
-                )
-                for i in range(bands)
-            ]
-        )
+    # 64-bit band keys (xxhash64 of the band's signature slice, salted with
+    # the band index).  bigint keys join far cheaper than sha256 strings,
+    # and a hash collision can only create a false CANDIDATE — the exact
+    # verify below removes it.
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(i),
+                *[
+                    F.col("signature")[i * rows_per_band + j]
+                    for j in range(rows_per_band)
+                ],
+            )
+            for i in range(bands)
+        ]
     )
-    banded = sig.select("doc_id", band_cols.alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
+    banded = (
+        sig.select("doc_id", band_hashes.alias("bh"))
+        .select(
+            "doc_id",
+            "bh",
+            F.posexplode("bh").alias("band_idx", "band_hash"),
+        )
     )
     left = banded.select(
-        F.col("doc_id").alias("doc1"), "band_idx", "band_hash"
+        F.col("doc_id").alias("doc1"), F.col("bh").alias("bh1"),
+        "band_idx", "band_hash",
     )
     right = banded.select(
-        F.col("doc_id").alias("doc2"), "band_idx", "band_hash"
+        F.col("doc_id").alias("doc2"), F.col("bh").alias("bh2"),
+        "band_idx", "band_hash",
     )
+    # a pair is emitted ONLY from the first band where it collides: no
+    # earlier band j < band_idx has bh1[j] == bh2[j].  This replaces the
+    # candidates.distinct() a naive banded join needs — on dense near-dup
+    # corpora that distinct shuffles bands x pairs rows and dominates the
+    # query; the first-collision filter runs inside the join stage and
+    # nothing wider than the deduped pair set is ever shuffled.  Expressed
+    # as a flat OR-chain of array-index comparisons (stays in whole-stage
+    # codegen; slice/zip_with higher-order functions are interpreted
+    # per-row and were measured 2x slower here).
+    collide_earlier = F.lit(False)
+    for j in range(bands - 1):
+        collide_earlier = collide_earlier | (
+            (F.col("band_idx") > j) & (F.col("bh1")[j] == F.col("bh2")[j])
+        )
     candidates = (
         left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter((F.col("doc1") < F.col("doc2")) & ~collide_earlier)
         .select("doc1", "doc2")
-        .distinct()
     )
-    # exact verify candidates only
-    tok = _token_sets(docs, text_col)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    t1 = tok.select(F.col("doc_id").alias("doc1"), "token")
-    t2 = tok.select(F.col("doc_id").alias("t2_doc"), F.col("token").alias("token2"))
-    shared = (
-        candidates.join(t1, "doc1")
-        .join(
-            t2,
-            (F.col("doc2") == F.col("t2_doc"))
-            & (F.col("token") == F.col("token2")),
-            "inner",
-        )
-        .groupBy("doc1", "doc2")
-        .agg(F.countDistinct("token").alias("shared"))
+    # exact verify candidates only — join each side's distinct-token set,
+    # HASHED to 64-bit ids, and intersect natively.  This keeps
+    # verification at O(|candidates|) rows with per-row JVM array ops; the
+    # earlier explode-join form pushed O(|candidates| x tokens-per-doc)
+    # rows through a shuffle and dominated the query on dense corpora.
+    # bigint intersects are several-fold cheaper than string intersects
+    # (Catalyst duplicates the intersect when it pushes the jaccard filter
+    # into the join condition, so per-eval cost matters twice over); a
+    # 64-bit collision changing a count is ~|toks|^2/2^64 — negligible.
+    tok_arrays = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+        ).alias("toks"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_tokens").alias("n1"))
-    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_tokens").alias("n2"))
+    t1 = tok_arrays.select(
+        F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1")
+    )
+    t2 = tok_arrays.select(
+        F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2")
+    )
+    n1, n2 = F.size("toks1"), F.size("toks2")
+    # exact-safe size prefilter: jaccard <= min(n1,n2)/max(n1,n2), so a
+    # size-incompatible pair can never reach the threshold — rejected
+    # before any intersect is computed.  The final filter compares the
+    # 4dp-ROUNDED jaccard, so leave that half-ulp of slack here.
+    t_eff = threshold - 0.00005
+    size_compatible = (n1 >= F.lit(t_eff) * n2) & (n2 >= F.lit(t_eff) * n1)
+    shared = F.size(F.array_intersect("toks1", "toks2"))
     return (
-        shared.join(sa, "doc1")
-        .join(sb, "doc2")
+        candidates.join(t1, "doc1")
+        .join(t2, "doc2")
+        .filter(size_compatible)
+        .withColumn("shared", shared)
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 4
-            ),
+            F.round(F.col("shared") / (n1 + n2 - F.col("shared")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
@@ -267,28 +367,38 @@ def simhash_signatures(
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch-vectorized: one FNV pass over the batch vocabulary, then a
+        # segmented per-doc majority vote per bit (np.add.reduceat) — no
+        # per-doc or per-token Python loops
         for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                toks = [t for t in str(text).split() if t]
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.array(
-                    [hash_token(t) for t in set(toks)], dtype=np.uint64
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
-                acc = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(
-                    np.uint64
-                )
-                val = int((acc << np.arange(64, dtype=np.uint64)).sum())
-                # store as signed 64-bit
-                out.append(val - (1 << 64) if val >= (1 << 63) else val)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "simhash": out})
+            n = len(pdf)
+            hashes, offsets = _batch_token_hashes(pdf[text_col])
+            acc = np.zeros(n, dtype=np.uint64)
+            seg_lens = offsets[1:] - offsets[:-1]
+            nonempty = seg_lens > 0
+            starts = offsets[:-1][nonempty]
+            if hashes.size:
+                ne_lens = seg_lens[nonempty]
+                acc_ne = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+                for j in range(64):
+                    col = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    ones = np.add.reduceat(col, starts)
+                    bit = (2 * ones >= ne_lens).astype(np.uint64)
+                    acc_ne |= bit << np.uint64(j)
+                acc[nonempty] = acc_ne
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    # bit-reinterpret uint64 -> signed 64 (two's complement)
+                    "simhash": acc.view(np.int64),
+                }
+            )
 
-    return docs.select("doc_id", text_col).mapInPandas(compute, out_schema)
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(
+        compute, out_schema
+    )
 
 
 def simhash_pairs(

@@ -60,6 +60,34 @@ class TestMinHashLSH:
         b = dedup.minhash_signatures(docs).orderBy("doc_id").collect()
         assert [r["signature"] for r in a] == [r["signature"] for r in b]
 
+    def test_vectorized_fnv_matches_scalar(self):
+        """The batch-vectorized FNV must be bit-identical to the scalar
+        reference hash_token (unicode, empty-adjacent, shared vocab)."""
+        import numpy as np
+
+        toks = ["the", "fox", "a", "κόσμος", "日本語", "x" * 50, "fox"]
+        got = dedup._fnv_hashes(np.array(toks, dtype=object))
+        want = [dedup.hash_token(t) for t in toks]
+        assert got.tolist() == want
+
+    def test_batch_segments_and_empty_docs(self, spark):
+        """Empty docs get the zero signature; segment boundaries must not
+        leak tokens across docs (reduceat edge cases)."""
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, ""), (3, "gamma"), (4, "   ")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["signature"]
+                for r in dedup.minhash_signatures(df, num_perm=8).collect()}
+        assert rows[2] == [0] * 8 and rows[4] == [0] * 8
+        solo = {r["doc_id"]: r["signature"]
+                for r in dedup.minhash_signatures(
+                    spark.createDataFrame(
+                        [(1, "alpha beta"), (3, "gamma")],
+                        "doc_id long, text string",
+                    ), num_perm=8).collect()}
+        assert rows[1] == solo[1] and rows[3] == solo[3]
+
 
 class TestSimHash:
     def test_pairs_symmetric_and_bounded(self, docs):
