@@ -62,29 +62,20 @@ _CHAIN_SCHEMA = StructType(
 )
 
 
-def _chain_fold(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("turn_idx")
-    out = []
-    spine = ""  # root parent = empty (genesis)
-    for _, r in pdf.iterrows():
-        parent = spine
-        h = hashlib.sha256(
-            (parent + "|" + str(r["block_sig"])).encode()
-        ).hexdigest()
-        out.append((r["conv_id"], int(r["turn_idx"]), h, parent))
-        if not bool(r["is_injected"]):
-            # spine bypasses injected side-branch nodes (chain.go:75-98)
-            spine = h
-    return pd.DataFrame(
-        out, columns=["conv_id", "turn_idx", "node_hash", "parent_hash"]
-    )
-
-
 def chain_hashes(df: DataFrame) -> DataFrame:
     """P11 entry: per-conversation cumulative chain hash.
 
     Input needs: conv_id, turn_idx, block_sig, and call_kind (injected
     detection).  Returns (conv_id, turn_idx, node_hash, parent_hash).
+
+    The fold is inherently sequential per conversation (each node hash
+    feeds the next), so Python executes it — but as ONE mapInPandas over
+    conv-clustered, turn-sorted partitions with a cross-batch carry, not
+    per-group applyInPandas (whose ~0.5ms/group overhead dominates with
+    many small conversations), and with plain-list row access, not
+    iterrows (10-50x constant factor).  A pathological 10^5-turn
+    conversation still folds in one task — unavoidable for a hash chain;
+    everything around it parallelizes.
     """
     narrow = with_block_signature(df).select(
         "conv_id",
@@ -92,6 +83,42 @@ def chain_hashes(df: DataFrame) -> DataFrame:
         "block_sig",
         (F.col("call_kind") == "injected").alias("is_injected"),
     )
-    return narrow.groupBy("conv_id").applyInPandas(
-        _chain_fold, schema=_CHAIN_SCHEMA
+    n = df.sparkSession.sparkContext.defaultParallelism
+    arranged = narrow.repartition(n, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
     )
+
+    def fold(batches):
+        # carry (conv, spine) across Arrow batches: a conversation can
+        # span batch boundaries within the sorted partition
+        cur_conv: str | None = None
+        spine = ""  # root parent = empty (genesis)
+        for pdf in batches:
+            convs = pdf["conv_id"].tolist()
+            sigs = pdf["block_sig"].tolist()
+            injected = pdf["is_injected"].tolist()
+            nodes: list[str] = []
+            parents: list[str] = []
+            for i in range(len(convs)):
+                if convs[i] != cur_conv:
+                    cur_conv = convs[i]
+                    spine = ""
+                parents.append(spine)
+                h = hashlib.sha256(
+                    (spine + "|" + str(sigs[i])).encode()
+                ).hexdigest()
+                nodes.append(h)
+                if not injected[i]:
+                    # spine bypasses injected side-branch nodes
+                    # (chain.go:75-98)
+                    spine = h
+            yield pd.DataFrame(
+                {
+                    "conv_id": convs,
+                    "turn_idx": pdf["turn_idx"].values,
+                    "node_hash": nodes,
+                    "parent_hash": parents,
+                }
+            )
+
+    return arranged.mapInPandas(fold, _CHAIN_SCHEMA)

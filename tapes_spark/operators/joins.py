@@ -305,7 +305,13 @@ def attach_verdicts(df: DataFrame) -> DataFrame:
             "conv_id", "turn_idx", "role", "tool", "text", "call_kind",
             "verdict_disposition",
         )
-        .repartition("conv_id")
+        # explicit partition count: a bare repartition(col) lets AQE
+        # coalesce to ~64MB advisory partitions, capping the fold's
+        # parallelism on a big cluster (same invariant as pipeline.py)
+        .repartition(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+            "conv_id",
+        )
         .sortWithinPartitions("conv_id", "turn_idx")
     )
     return narrow.mapInPandas(

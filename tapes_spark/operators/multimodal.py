@@ -85,29 +85,35 @@ def extract_features(
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decode is the one per-item boundary (a real codec decodes one
+        # payload at a time); everything else — hashing, pooling — runs
+        # over the whole batch (no iterrows / per-row frame access)
         for pdf in batches:
-            out = {
-                "media_id": [],
-                "kind": [],
-                "payload_sha256": [],
-                "payload_bytes": [],
-                "feature": [],
-            }
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"] or b"")
-                plane = _decode_image(payload, fake_decode)
-                # pooled features: row/col means -> FEATURE_DIM floats
-                feat = np.concatenate(
-                    [plane.mean(axis=0), plane.mean(axis=1)]
-                ).astype(np.float32)[:FEATURE_DIM]
-                out["media_id"].append(row["media_id"])
-                out["kind"].append(row["kind"])
-                out["payload_sha256"].append(
-                    hashlib.sha256(payload).hexdigest()
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            if payloads:
+                planes = np.stack(
+                    [_decode_image(p, fake_decode) for p in payloads]
                 )
-                out["payload_bytes"].append(len(payload))
-                out["feature"].append(feat.tolist())
-            yield pd.DataFrame(out)
+                # pooled features: per-plane row/col means, batched
+                feats = np.concatenate(
+                    [planes.mean(axis=1), planes.mean(axis=2)], axis=1
+                ).astype(np.float32)[:, :FEATURE_DIM]
+                feat_lists = list(feats)
+            else:
+                feat_lists = []
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload_sha256": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                    "payload_bytes": [len(p) for p in payloads],
+                    "feature": feat_lists,
+                }
+            )
 
     return media.select(
         "media_id", "kind", "payload"

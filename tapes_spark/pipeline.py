@@ -44,6 +44,7 @@ from tapes_spark.operators import aggregate as agg
 from tapes_spark.operators import route
 from tapes_spark.operators.classify import with_call_kind
 from tapes_spark.operators.enrich import enrich_pricing, enrich_role
+from tapes_spark.functions.hashing import chain_hashes
 from tapes_spark.operators.joins import (
     attach_asof,
     attach_verdicts,
@@ -153,6 +154,9 @@ def run_pipeline(
         enriched, "web", ["WebFetch", "WebSearch"]
     )
     sinks["plan_attachments"] = attach_asof(enriched, "plan", ["ExitPlanMode"])
+    # P11: the per-turn merkle chain tape (one row per valid turn) — wired
+    # as a first-class sink so its cost is part of every pipeline bench
+    sinks["chain_tape"] = chain_hashes(enriched)
 
     result = PipelineResult(enriched=enriched, sinks=sinks)
     result.metrics["quarantined_rows"] = quarantined  # lazily counted by caller

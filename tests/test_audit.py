@@ -43,6 +43,23 @@ def test_no_row_at_a_time_udf_in_source():
     assert not offenders, "row-at-a-time UDFs found:\n" + "\n".join(offenders)
 
 
+def test_no_iterrows_in_source():
+    """iterrows inside a pandas-UDF body is the same per-row-Python
+    violation in spirit: ~50x the cost of column access.  Batch bodies
+    must use column .tolist()/.values or numpy segment ops."""
+    offenders = []
+    for root, _, files in os.walk(PKG_DIR):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if ".iterrows()" in line:
+                        offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, "iterrows found:\n" + "\n".join(offenders)
+
+
 def test_no_batch_eval_python_in_plans(spark, transcripts):
     res = run_pipeline(spark, transcripts)
     for name, df in res.sinks.items():

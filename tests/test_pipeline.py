@@ -38,6 +38,7 @@ PINNED_SINKS = {
     "verdict_attachments": 1,
     "web_attachments": 1,
     "plan_attachments": 1,
+    "chain_tape": 792,  # one row per valid (non-quarantined) turn
 }
 PINNED_ERROR_SOURCES = {"stop_error": 1, "tool_error": 16, "verdict_block": 1}
 PINNED_TOOL_PAIRED = 201

@@ -129,6 +129,24 @@ class TestChainHash:
         b = chain_hashes(result.enriched).orderBy("conv_id", "turn_idx").collect()
         assert a == b
 
+    def test_cross_batch_carry(self, spark, result):
+        """The mapInPandas fold must carry the spine across Arrow batch
+        seams: shrinking the batch size so every conversation spans many
+        batches must not change a single hash."""
+        want = chain_hashes(result.enriched).orderBy(
+            "conv_id", "turn_idx"
+        ).collect()
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "3")
+            got = chain_hashes(result.enriched).orderBy(
+                "conv_id", "turn_idx"
+            ).collect()
+        finally:
+            spark.conf.set(key, old)
+        assert got == want
+
     def test_signature_reflects_normalized_content(self, spark):
         df = spark.createDataFrame(
             [
