@@ -228,9 +228,9 @@ def _tasks_fold_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     tasks: dict[int, dict] = {}
     n_updates = 0
     conv_id = pdf["conv_id"].iloc[0] if len(pdf) else None
-    for _, r in pdf.iterrows():
-        text = str(r["result_text"] or "")
-        if r["tool"] == "TaskCreate":
+    for tool, raw in zip(pdf["tool"].tolist(), pdf["result_text"].tolist()):
+        text = str(raw or "")
+        if tool == "TaskCreate":
             m = created.search(text)
             if m:
                 tid = int(m.group(1))
@@ -240,7 +240,7 @@ def _tasks_fold_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                     "status": "open",
                     "updates": 0,
                 }
-        elif r["tool"] == "TaskUpdate":
+        elif tool == "TaskUpdate":
             m = updated.search(text)
             if m:
                 tid = int(m.group(1))
