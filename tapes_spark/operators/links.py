@@ -1,0 +1,245 @@
+"""Span-links tape — the dataflow graph between turn-level spans.
+
+Rebuilds the reference's span_links table and link emission (tapes
+pkg/derive/spans.go:51-55, 480-548; migrations/1781230000_span_model.up.sql:72-88)
+over the flattened transcript shape, where the llm span and the tool span
+it emits share a turn_idx and are distinguished by span kind:
+
+  emits           llm output -> tool input: one per tool call
+                  (spans.go:524-546).
+  feeds           tool output -> the NEXT llm call's input: one per paired
+                  result that a later assistant turn actually consumed
+                  (spans.go:505-512) — a result with no later llm call
+                  never links.
+  verdict         shadow (check) llm -> the tool span it judged: straight
+                  from the J3 attachment sink (spans.go:444-450).
+  compaction-seam compaction llm -> the next trace's first llm in the same
+                  conversation (spans.go:412-418).  The seam source is
+                  overwritten by later compactions ("last one arms it"),
+                  so only the LAST compaction turn of a trace links.
+  rejoin          subagent root -> the spawning Task tool span
+                  (spans.go:393-397), via the J6 reconcile match plus an
+                  as-of pick of the latest preceding Task call.
+
+Every link id is deterministic (sha256 over the canonical link tuple —
+D2), so the tape is idempotently re-derivable like every other sink.
+
+Scale: emits/verdict are narrow projections; feeds and the seam use the
+conversation-clustered exchange every other window shares (keys start
+with conv_id); nothing shuffles wider than its output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LINK_KINDS = ("emits", "feeds", "verdict", "compaction-seam", "rejoin")
+
+_LINK_COLS = (
+    "conv_id",
+    "kind",
+    "from_kind",
+    "from_turn_idx",
+    "from_io",
+    "to_kind",
+    "to_turn_idx",
+    "to_io",
+)
+
+
+def _with_link_id(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "link_id",
+        F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in _LINK_COLS]), 256),
+    )
+
+
+def emits_links(tool_tape: DataFrame) -> DataFrame:
+    """One emits link per tool call: the emitting llm span and the tool
+    span share the call's turn_idx in the flattened shape."""
+    return _with_link_id(
+        tool_tape.select(
+            "conv_id",
+            F.lit("emits").alias("kind"),
+            F.lit("llm").alias("from_kind"),
+            F.col("turn_idx").alias("from_turn_idx"),
+            F.lit("output").alias("from_io"),
+            F.lit("tool").alias("to_kind"),
+            F.col("turn_idx").alias("to_turn_idx"),
+            F.lit("input").alias("to_io"),
+        )
+    )
+
+
+def feeds_links(enriched: DataFrame, tool_tape: DataFrame) -> DataFrame:
+    """Tool result -> the next llm (assistant) turn that consumed it.
+
+    Union the llm turns with the result rows on one per-conv timeline and
+    take, for each result, the first llm turn strictly after it (window
+    first over the following frame — no range join)."""
+    llm_marks = enriched.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        F.col("turn_idx").alias("idx"),
+        F.lit(None).cast("int").alias("call_turn_idx"),
+    )
+    result_marks = tool_tape.filter(F.col("result_turn_idx").isNotNull()).select(
+        "conv_id",
+        F.col("result_turn_idx").alias("idx"),
+        F.col("turn_idx").alias("call_turn_idx"),
+    )
+    # result sorts BEFORE an llm turn at the same idx is impossible in the
+    # flattened shape (a result turn is role=tool); strict ordering by idx
+    # with llm-marker nulls-last tie-break is deterministic regardless
+    timeline = llm_marks.unionByName(result_marks)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("idx").asc(), F.col("call_turn_idx").asc_nulls_last())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_llm = F.first(
+        F.when(F.col("call_turn_idx").isNull(), F.col("idx")), ignorenulls=True
+    ).over(w)
+    return _with_link_id(
+        timeline.withColumn("next_llm_idx", next_llm)
+        .filter(F.col("call_turn_idx").isNotNull() & F.col("next_llm_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.lit("feeds").alias("kind"),
+            F.lit("tool").alias("from_kind"),
+            F.col("call_turn_idx").alias("from_turn_idx"),
+            F.lit("output").alias("from_io"),
+            F.lit("llm").alias("to_kind"),
+            F.col("next_llm_idx").alias("to_turn_idx"),
+            F.lit("input").alias("to_io"),
+        )
+    )
+
+
+def verdict_links(verdict_attachments: DataFrame) -> DataFrame:
+    """Shadow llm -> judged tool span, from the J3 attachment sink."""
+    return _with_link_id(
+        verdict_attachments.filter(F.col("tool_turn_idx").isNotNull()).select(
+            "conv_id",
+            F.lit("verdict").alias("kind"),
+            F.lit("llm").alias("from_kind"),
+            F.col("check_turn_idx").alias("from_turn_idx"),
+            F.lit("output").alias("from_io"),
+            F.lit("tool").alias("to_kind"),
+            F.col("tool_turn_idx").alias("to_turn_idx"),
+            F.lit("input").alias("to_io"),
+        )
+    )
+
+
+def compaction_seam_links(enriched: DataFrame) -> DataFrame:
+    """LAST compaction llm of a trace -> the first llm of the next trace.
+
+    Requires trace_num (with_traces).  A compaction with no later trace
+    (or a next trace with no llm turn) arms a seam that never fires —
+    no link, same as the reference."""
+    compactions = (
+        enriched.filter(F.col("call_kind") == "compaction")
+        .groupBy("conv_id", "trace_num")
+        .agg(F.max("turn_idx").alias("from_turn_idx"))
+    )
+    first_llm = (
+        enriched.filter(F.col("role") == "assistant")
+        .groupBy("conv_id", "trace_num")
+        .agg(F.min("turn_idx").alias("to_turn_idx"))
+        .withColumn("prev_trace", F.col("trace_num") - 1)
+    )
+    return _with_link_id(
+        compactions.join(
+            first_llm,
+            (compactions["conv_id"] == first_llm["conv_id"])
+            & (compactions["trace_num"] == first_llm["prev_trace"]),
+        )
+        .select(
+            compactions["conv_id"],
+            F.lit("compaction-seam").alias("kind"),
+            F.lit("llm").alias("from_kind"),
+            F.col("from_turn_idx"),
+            F.lit("output").alias("from_io"),
+            F.lit("llm").alias("to_kind"),
+            F.col("to_turn_idx"),
+            F.lit("input").alias("to_io"),
+        )
+    )
+
+
+def rejoin_links(
+    reconciled: DataFrame,
+    transcripts: DataFrame,
+    tool_tape: DataFrame,
+    agent_col: str = "agent_id",
+) -> DataFrame:
+    """Subagent -> spawning Task tool span (spans.go:393-397).
+
+    *reconciled* is the J6 output (agent_id -> conv_id); the spawning
+    call is the latest Task-category tool call at or before the child's
+    first captured turn (as-of pick, deterministic tie-break on
+    turn_idx).  Conv-unmatched agents emit nothing (they are the
+    reference's orphan counter, reported by the reconcile report)."""
+    child_start = transcripts.groupBy(agent_col).agg(
+        F.min("ts").alias("child_start_ts")
+    )
+    matched = (
+        reconciled.filter(F.col("conv_id").isNotNull())
+        .select(agent_col, "conv_id")
+        .join(child_start, agent_col)
+    )
+    task_calls = tool_tape.filter(F.col("is_task_tool")).select(
+        "conv_id",
+        F.col("turn_idx").alias("task_turn_idx"),
+        F.col("call_ts"),
+    )
+    w = Window.partitionBy(agent_col).orderBy(
+        F.col("call_ts").desc(), F.col("task_turn_idx").desc()
+    )
+    best = (
+        matched.join(task_calls, "conv_id")
+        .filter(F.col("call_ts") <= F.col("child_start_ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    out = best.select(
+        "conv_id",
+        F.lit("rejoin").alias("kind"),
+        F.lit("agent").alias("from_kind"),
+        F.lit(None).cast("int").alias("from_turn_idx"),
+        F.lit("output").alias("from_io"),
+        F.lit("tool").alias("to_kind"),
+        F.col("task_turn_idx").alias("to_turn_idx"),
+        F.lit("input").alias("to_io"),
+        F.col(agent_col).cast("string").alias("agent_id"),
+    )
+    # the agent is part of the link identity (two subagents may rejoin
+    # the same Task span)
+    return out.withColumn(
+        "link_id",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                *[F.col(c).cast("string") for c in _LINK_COLS],
+                F.col("agent_id"),
+            ),
+            256,
+        ),
+    )
+
+
+def link_tape(
+    enriched: DataFrame,
+    tool_tape: DataFrame,
+    verdict_attachments: DataFrame | None = None,
+) -> DataFrame:
+    """The in-conversation link tape (emits + feeds + compaction-seam
+    [+ verdict]).  Rejoin links need the subagent side inputs and are
+    produced by :func:`rejoin_links`."""
+    links = emits_links(tool_tape).unionByName(
+        feeds_links(enriched, tool_tape)
+    ).unionByName(compaction_seam_links(enriched))
+    if verdict_attachments is not None:
+        links = links.unionByName(verdict_links(verdict_attachments))
+    return links

@@ -45,6 +45,7 @@ from tapes_spark.operators import route
 from tapes_spark.operators.classify import with_call_kind
 from tapes_spark.operators.enrich import enrich_pricing, enrich_role
 from tapes_spark.functions.hashing import chain_hashes
+from tapes_spark.operators.links import link_tape
 from tapes_spark.operators.joins import (
     attach_asof,
     attach_verdicts,
@@ -157,6 +158,11 @@ def run_pipeline(
     # P11: the per-turn merkle chain tape (one row per valid turn) — wired
     # as a first-class sink so its cost is part of every pipeline bench
     sinks["chain_tape"] = chain_hashes(enriched)
+    # the span-links dataflow graph (emits/feeds/compaction-seam/verdict);
+    # rejoin links need the subagent side inputs (operators/links.py)
+    sinks["link_tape"] = link_tape(
+        enriched, tool_tape, sinks.get("verdict_attachments")
+    )
 
     result = PipelineResult(enriched=enriched, sinks=sinks)
     result.metrics["quarantined_rows"] = quarantined  # lazily counted by caller

@@ -32,6 +32,8 @@ SINK_NAMES = (
     "verdict_attachments",
     "web_attachments",
     "plan_attachments",
+    "chain_tape",
+    "link_tape",
 )
 
 

@@ -39,6 +39,7 @@ PINNED_SINKS = {
     "web_attachments": 1,
     "plan_attachments": 1,
     "chain_tape": 792,  # one row per valid (non-quarantined) turn
+    "link_tape": 403,  # emits 201 + feeds 200 + seam 1 + verdict 1
 }
 PINNED_ERROR_SOURCES = {"stop_error": 1, "tool_error": 16, "verdict_block": 1}
 PINNED_TOOL_PAIRED = 201
