@@ -305,6 +305,25 @@ def generate_transcripts(
     return rows
 
 
+def generate_session_meta(n_convs: int = 8, seed: int = 42) -> list[tuple]:
+    """Deterministic envelope side-channel rows (conv_id, parent_conv_id,
+    display_name): every odd conv forks from its predecessor; conv 2 (if
+    present) claims a parent whose own turns never land (the placeholder
+    path, sessions.sql:124-154); conv 1 carries a user rename."""
+    rows: list[tuple] = []
+    for i in range(n_convs):
+        conv = f"conv-{i:06d}"
+        parent = None
+        if i % 2 == 1:
+            parent = f"conv-{i - 1:06d}"
+        if i == 2:
+            parent = "conv-phantom"
+        name = "renamed by user" if i == 1 else None
+        if parent or name:
+            rows.append((conv, parent, name))
+    return rows
+
+
 ARROW_SCHEMA = pa.schema(
     [
         pa.field("conv_id", pa.string()),

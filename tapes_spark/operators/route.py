@@ -133,12 +133,14 @@ def conv_aggregates(
 ) -> DataFrame:
     """A6 rollup + A5 status + A3 kind counts + A2 model usage + A4 tasks,
     one row per conversation (the sessions-table analog)."""
+    from tapes_spark.operators.sessions import with_titles
+
     rollup = agg.conv_rollup(enriched)
     status = agg.conv_status(enriched, tool_tape_df)
     kinds = agg.kind_counts(enriched)
     usage = agg.model_usage_folded(enriched)
     tasks = agg.tasks_fold(tool_tape_df)
-    return (
+    joined = (
         rollup.join(status, "conv_id", "left")
         .join(kinds, "conv_id", "left")
         .join(usage, "conv_id", "left")
@@ -147,3 +149,5 @@ def conv_aggregates(
         .withColumn("n_updates", F.coalesce(F.col("n_updates"), F.lit(0)))
         .withColumn("tasks_json", F.coalesce(F.col("tasks_json"), F.lit("[]")))
     )
+    # derived-title fold + display-name ladder (fold.go:18-48)
+    return with_titles(joined, enriched)

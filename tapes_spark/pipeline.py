@@ -116,6 +116,8 @@ def run_pipeline(
     persist: bool = True,
     with_verdict_attach: bool = True,
     stage_dir: str | None = None,
+    session_meta: DataFrame | None = None,
+    corrections: DataFrame | None = None,
 ) -> PipelineResult:
     """If *stage_dir* is set, the enriched frame is materialized there as
     parquet and re-read — the stage-table pattern a cluster pipeline uses
@@ -123,6 +125,12 @@ def run_pipeline(
     and it survives executor loss).  Otherwise ``persist`` controls an
     in-memory MEMORY_AND_DISK cache."""
     t0 = time.time()
+    if corrections is not None:
+        # J9: the latest-wins attribution overlay rides every raw scan
+        # (raw stays immutable; see operators/corrections.py)
+        from tapes_spark.operators.corrections import apply_corrections
+
+        transcripts = apply_corrections(transcripts, corrections)
     enriched, quarantined = build_enriched(spark, transcripts)
     if stage_dir:
         enriched.write.mode("overwrite").parquet(f"{stage_dir}/enriched")
@@ -147,6 +155,14 @@ def run_pipeline(
         "error_tape": route.error_tape(enriched, tool_tape),
         "conv_aggregates": route.conv_aggregates(enriched, tool_tape),
     }
+    if session_meta is not None:
+        # envelope side-channel: parent links + user renames, with
+        # placeholder rows for not-yet-seen parents (sessions.sql:124-154)
+        from tapes_spark.operators.sessions import with_hierarchy
+
+        sinks["conv_aggregates"] = with_hierarchy(
+            sinks["conv_aggregates"], session_meta
+        )
     if with_verdict_attach:
         sinks["verdict_attachments"] = attach_verdicts(enriched)
     # J4/J5 as-of attachments: web summaries -> most recent preceding
