@@ -167,12 +167,14 @@ TASK_STATUSES = ["in_progress", "done", "blocked", "deleted"]
 
 
 def _tool_exchange(c: _Conv, rng: random.Random, tool: str | None = None,
-                   error: bool = False, command: str | None = None) -> None:
+                   error: bool = False, command: str | None = None,
+                   thread: str | None = None) -> None:
     tool = tool or rng.choice(TOOLS)
     cmd = command or f'{{"arg": "value-{rng.randint(0, 999)}"}}'
+    thread_marker = f" [thread: {thread}]" if thread else ""
     c.assistant(
         f"Using tool {tool}: {cmd}\n{_model_marker(rng)} {_usage_marker(rng)} "
-        "[stop_reason: tool_use]",
+        f"[stop_reason: tool_use]{thread_marker}",
         tool=tool,
     )
     if error:
@@ -272,12 +274,16 @@ def _build_conv(idx: int, n_convs: int, median_turns: int, seed: int) -> list[tu
         # the <transcript> body quotes the call text, so the 22-char
         # normalized substring overlap succeeds and consumes this call
         _tool_exchange(c, rng, tool="Bash",
-                       command='{"command": "rm -rf build/"}')
+                       command='{"command": "rm -rf build/"}',
+                       thread="t-sub")
         c.user('<transcript>Using tool Bash: {"command": "rm -rf build/"}'
                "</transcript> allowed?")
         block = "yes" if (idx == 4 or rng.random() < 0.5) else "no"
+        # stage-1 check fires from the action's sub-thread; the thread
+        # marker rides on both sides (attach.go thread-scoped matching)
         c.assistant(f"<block>{block}</block>\n"
-                    f"{_model_marker(rng)} {_usage_marker(rng)} [stop_reason: end_turn]")
+                    f"{_model_marker(rng)} {_usage_marker(rng)} "
+                    "[stop_reason: end_turn] [thread: t-sub]")
         c.assistant("[SUGGESTION MODE] try running the linter\n"
                     f"{_model_marker(rng)} {_usage_marker(rng)} [stop_reason: end_turn]")
         # WebFetch call precedes the web-summary turn so the J4 as-of

@@ -83,10 +83,9 @@ def chain_hashes(df: DataFrame) -> DataFrame:
         "block_sig",
         (F.col("call_kind") == "injected").alias("is_injected"),
     )
-    n = df.sparkSession.sparkContext.defaultParallelism
-    arranged = narrow.repartition(n, "conv_id").sortWithinPartitions(
-        "conv_id", "turn_idx"
-    )
+    from tapes_spark.functions.partitioning import cluster_sorted
+
+    arranged = cluster_sorted(narrow, "conv_id", "turn_idx")
 
     def fold(batches):
         # carry (conv, spine) across Arrow batches: a conversation can

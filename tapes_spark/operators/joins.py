@@ -195,22 +195,37 @@ def _normalize_action(s: str) -> str:
 
 
 def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation sequential consume-once matcher.
+    """Per-conversation consume-once matcher with stage grouping and
+    thread-scoped matching (attach.go:38-108):
 
-    Each check turn's judged action (the ``<transcript>`` body of its
-    preceding user turn) is matched to an unconsumed tool call by
-    normalized 22-char substring overlap in either direction
-    (attach.go:238-274); every candidate is consumed exactly once.
+      * stage-1/stage-2 checks for the SAME judged action share one
+        group (the group key is the action text); a non-empty member
+        thread that disagrees starts its own group, and the group
+        inherits the most specific thread id any member carries.
+      * matching tries candidates from the group's thread FIRST, then
+        falls back to the global pass (rows captured before thread
+        markers existed).
+      * the matched candidate is consumed exactly once; every member of
+        the group attaches to it.
+
+    A check's judged action is the ``<transcript>`` body of its latest
+    preceding user turn; overlap is the normalized 22-char substring in
+    either direction (attach.go:238-274).
     """
     pdf = pdf.sort_values("turn_idx")
     rows = pdf.to_dict("records")
     tool_calls: list[dict] = []  # unconsumed candidates, in order
-    out: list[tuple] = []
+    checks: list[dict] = []
     last_transcript: str | None = None
     for r in rows:
         if r["role"] == "assistant" and r["tool"]:
-            key = _normalize_action(str(r["text"]))
-            tool_calls.append({"turn_idx": r["turn_idx"], "key": key})
+            tool_calls.append(
+                {
+                    "turn_idx": r["turn_idx"],
+                    "key": _normalize_action(str(r["text"])),
+                    "thread": r.get("thread_id") or "",
+                }
+            )
         if r["role"] == "user" and "<transcript>" in str(r["text"]):
             body = str(r["text"])
             start = body.find("<transcript>") + len("<transcript>")
@@ -219,31 +234,67 @@ def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 body[start:end] if end != -1 else body[start:]
             )
         if r["call_kind"] == "check":
-            action = last_transcript
-            matched_idx = None
-            if action:
-                probe = action[:_OVERLAP_LEN]
-                for i, cand in enumerate(tool_calls):
-                    ck = cand["key"]
-                    if (probe and probe in ck) or (
-                        ck[:_OVERLAP_LEN] and ck[:_OVERLAP_LEN] in action
-                    ):
-                        matched_idx = i
-                        break
-            if matched_idx is not None:
-                cand = tool_calls.pop(matched_idx)  # consume exactly once
-                out.append(
-                    (
-                        r["conv_id"],
-                        r["turn_idx"],
-                        cand["turn_idx"],
-                        r.get("verdict_disposition"),
-                    )
-                )
-            else:
-                out.append(
-                    (r["conv_id"], r["turn_idx"], None, r.get("verdict_disposition"))
-                )
+            checks.append(
+                {
+                    "conv": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "action": last_transcript or "",
+                    "thread": r.get("thread_id") or "",
+                    "disposition": r.get("verdict_disposition"),
+                }
+            )
+
+    out: list[tuple] = []
+    # group stage-1/2 checks by action with thread compatibility
+    groups: dict[str, list[dict]] = {}
+    order: list[dict] = []
+    for c in checks:
+        if not c["action"]:
+            out.append((c["conv"], c["turn_idx"], None, c["disposition"]))
+            continue
+        g = None
+        for cand in groups.setdefault(c["action"], []):
+            if (
+                c["thread"] == ""
+                or cand["thread"] == ""
+                or cand["thread"] == c["thread"]
+            ):
+                g = cand
+                break
+        if g is None:
+            g = {"thread": c["thread"], "members": []}
+            groups[c["action"]].append(g)
+            order.append((c["action"], g))
+        g["members"].append(c)
+        if g["thread"] == "":
+            g["thread"] = c["thread"]
+
+    def find(action: str, thread: str, same_thread: bool) -> int | None:
+        probe = action[:_OVERLAP_LEN]
+        for i, cand in enumerate(tool_calls):
+            if same_thread and cand["thread"] != thread:
+                continue
+            ck = cand["key"]
+            if (probe and probe in ck) or (
+                ck[:_OVERLAP_LEN] and ck[:_OVERLAP_LEN] in action
+            ):
+                return i
+        return None
+
+    for action, g in order:
+        i = find(action, g["thread"], True) if g["thread"] else None
+        if i is None:
+            i = find(action, g["thread"], False)
+        if i is None:
+            for c in g["members"]:
+                out.append((c["conv"], c["turn_idx"], None, c["disposition"]))
+            continue
+        cand = tool_calls.pop(i)  # consume exactly once, shared by stages
+        for c in g["members"]:
+            out.append(
+                (c["conv"], c["turn_idx"], cand["turn_idx"], c["disposition"])
+            )
+    out.sort(key=lambda t: t[1])
     return pd.DataFrame(
         out, columns=["conv_id", "check_turn_idx", "tool_turn_idx", "disposition"]
     )
@@ -303,17 +354,12 @@ def attach_verdicts(df: DataFrame) -> DataFrame:
         .join(has_check, "conv_id", "left_semi")
         .select(
             "conv_id", "turn_idx", "role", "tool", "text", "call_kind",
-            "verdict_disposition",
+            "verdict_disposition", "thread_id", "check_stage",
         )
-        # explicit partition count: a bare repartition(col) lets AQE
-        # coalesce to ~64MB advisory partitions, capping the fold's
-        # parallelism on a big cluster (same invariant as pipeline.py)
-        .repartition(
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-            "conv_id",
-        )
-        .sortWithinPartitions("conv_id", "turn_idx")
     )
+    from tapes_spark.functions.partitioning import cluster_sorted
+
+    narrow = cluster_sorted(narrow, "conv_id", "turn_idx")
     return narrow.mapInPandas(
         _attach_verdicts_partition, schema=_VERDICT_ATTACH_SCHEMA
     )

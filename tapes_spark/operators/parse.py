@@ -109,6 +109,24 @@ def with_parsed_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "error_signature", F.when(err == "", None).otherwise(err)
         )
         .withColumn(
+            # harness sub-thread marker: rides on both a tool-carrying
+            # call and the permission check that judges it (the agent-id
+            # header analog, reference attach.go:80-84)
+            "thread_id",
+            F.when(
+                t.contains("[thread: "),
+                F.nullif(F.regexp_extract(t, r"\[thread: ([\w-]+)\]", 1), empty),
+            ),
+        )
+        .withColumn(
+            # stage-2 escalation checks run in the main harness process
+            # (attach.go:39-44); default stage 1
+            "check_stage",
+            F.when(t.contains("[check-stage: 2]"), F.lit(2)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
             "is_git_activity",
             (F.col("role") == "assistant")
             & (F.col("tool").isin("Bash", "exec", "exec_command", "shell",

@@ -97,3 +97,53 @@ class TestAsOfAttach:
         # turn 1 consumes the WebFetch at 0; turn 2 finds the same target
         # already consumed -> dropped by consume-once; turn 4 takes WebSearch
         assert got == [(1, 0, "WebFetch"), (4, 3, "WebSearch")]
+
+
+class TestThreadScopedVerdicts:
+    """attach.go:38-108: stage-1/2 grouping + same-thread-first matching."""
+
+    @pytest.fixture(scope="class")
+    def attachments(self, spark):
+        from tapes_spark.operators.joins import attach_verdicts
+        from tapes_spark.pipeline import build_enriched
+
+        act = 'Using tool Bash: {"command": "rm -rf build/"}'
+        quoted = ("<transcript>Using tool Bash: "
+                  '{"command": "rm -rf build/"}</transcript> allowed?')
+        rows = [
+            ("C", 0, "user", "start", "", _ts(0)),
+            ("C", 1, "assistant", f"{act} [thread: t1]", "Bash", _ts(1)),
+            ("C", 2, "tool", "ok: done", "Bash", _ts(2)),
+            ("C", 3, "assistant", f"{act} [thread: t2]", "Bash", _ts(3)),
+            ("C", 4, "tool", "ok: done", "Bash", _ts(4)),
+            ("C", 5, "user", quoted, "", _ts(5)),
+            # stage-1 check fires from t2: must attach to turn 3 even
+            # though turn 1 is the earlier global match
+            ("C", 6, "assistant", "<block>no</block> [thread: t2]", "",
+             _ts(6)),
+            # stage-2 escalation (main process, no thread) groups with it
+            ("C", 7, "assistant", "<block>no</block> [check-stage: 2]", "",
+             _ts(7)),
+            ("C", 8, "user", quoted, "", _ts(8)),
+            # a t1-thread check starts its own group -> turn 1
+            ("C", 9, "assistant", "<block>yes</block> [thread: t1]", "",
+             _ts(9)),
+        ]
+        tx = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        enriched, _ = build_enriched(spark, tx)
+        return {
+            r["check_turn_idx"]: r
+            for r in attach_verdicts(enriched).collect()
+        }
+
+    def test_same_thread_wins_over_global_order(self, attachments):
+        assert attachments[6]["tool_turn_idx"] == 3
+
+    def test_stage2_shares_the_stage1_attachment(self, attachments):
+        assert attachments[7]["tool_turn_idx"] == 3
+
+    def test_disagreeing_thread_starts_new_group(self, attachments):
+        assert attachments[9]["tool_turn_idx"] == 1
+        assert attachments[9]["disposition"] == "BLOCK"

@@ -159,3 +159,21 @@ class TestChainHash:
         sigs = [r["block_sig"] for r in
                 with_block_signature(df).orderBy("turn_idx").collect()]
         assert sigs[0] == sigs[1] != sigs[2]
+
+    def test_unpersisted_union_lineage_still_clusters(self, spark, transcripts):
+        """Regression: on the raw (unpersisted) split-union lineage the
+        optimizer used to elide the fold's repartition, splitting a
+        conversation across partitions and breaking the spine.  The
+        xxhash64 clustering (functions/partitioning.py) must hold without
+        any caching."""
+        from tapes_spark.pipeline import build_enriched
+
+        enriched, _ = build_enriched(spark, transcripts)
+        chains = chain_hashes(enriched)
+        rows = sorted(
+            (r["turn_idx"], r["node_hash"], r["parent_hash"])
+            for r in chains.filter(F.col("conv_id") == "conv-000000").collect()
+        )
+        assert rows[0][2] == ""
+        for (i1, h1, _), (i2, _, p2) in zip(rows, rows[1:]):
+            assert p2 == h1
