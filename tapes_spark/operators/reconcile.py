@@ -7,6 +7,11 @@ degrade ladder:
 
   identity  — transcript carries the conversation id (thread_id ==
               agent_id in the reference): plain equi-join, always wins.
+  agent_path— the Codex rung (pkg/derive/codex.go:93-117): a spawn-anchor
+              side table maps agent_path -> (conv, spawn call); joined
+              ONLY while a path maps to exactly one anchor AND the agent
+              claims exactly one path — a reused path is ambiguous and
+              refuses to guess.
   overlap   — otherwise, match by block-SIGNATURE set overlap: explode
               normalized turn signatures on both sides, equi-join on
               signature, count per (agent, conv), take the max-overlap
@@ -48,15 +53,20 @@ def reconcile_transcripts(
     conversations: DataFrame,
     transcripts: DataFrame,
     agent_col: str = "agent_id",
+    spawn_anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Match each transcript (grouped by *agent_col*) to a conversation.
 
     *conversations*: the main table (conv_id, turn_idx, role, text[, text_norm], tool).
     *transcripts*: side input with *agent_col* (+ optional ``claimed_conv_id``
-    for the identity rung) and the same turn columns.
+    for the identity rung, optional ``agent_path`` for the Codex rung)
+    and the same turn columns.
+    *spawn_anchors*: optional (agent_path, conv_id) spawn-evidence table
+    for the agent_path rung.
 
     Returns one row per agent:
-      (agent_id, conv_id, matched_by in ('identity','overlap',null), overlap)
+      (agent_id, conv_id,
+       matched_by in ('identity','agent_path','overlap',null), overlap)
     """
     conv_sigs = _signatures(conversations, "conv_id")
     agent_sigs = _signatures(transcripts, agent_col)
@@ -97,6 +107,42 @@ def reconcile_transcripts(
 
     unmatched_agents = agents.join(identity.select(agent_col), agent_col,
                                    "left_anti")
+
+    # agent_path rung (codex.go:93-117): exact but ambiguous under path
+    # reuse — join only while BOTH sides are unambiguous
+    if spawn_anchors is not None and "agent_path" in transcripts.columns:
+        unique_anchors = (
+            spawn_anchors.groupBy("agent_path")
+            .agg(
+                F.count("*").alias("n_anchors"),
+                F.first("conv_id").alias("conv_id"),
+            )
+            .filter(F.col("n_anchors") == 1)
+            .drop("n_anchors")
+        )
+        path_claims = (
+            transcripts.filter(F.col("agent_path").isNotNull())
+            .select(agent_col, "agent_path")
+            .distinct()
+            .join(unmatched_agents, agent_col, "left_semi")
+            # an agent claiming two paths is ambiguous too
+            .withColumn(
+                "n_paths", F.count("*").over(Window.partitionBy(agent_col))
+            )
+            .filter(F.col("n_paths") == 1)
+            .drop("n_paths")
+        )
+        by_path = path_claims.join(unique_anchors, "agent_path").select(
+            F.col(agent_col),
+            F.col("conv_id"),
+            F.lit("agent_path").alias("matched_by"),
+            F.lit(None).cast("long").alias("overlap"),
+        )
+        identity = identity.unionByName(by_path)
+        unmatched_agents = agents.join(
+            identity.select(agent_col), agent_col, "left_anti"
+        )
+
     overlap_counts = (
         agent_sigs.join(unmatched_agents, agent_col, "left_semi")
         .join(conv_sigs, "block_sig")
@@ -126,3 +172,20 @@ def join_rate(reconciled: DataFrame) -> float:
     if total == 0:
         return 1.0
     return reconciled.filter(F.col("matched_by").isNotNull()).count() / total
+
+
+def reconcile_report(reconciled: DataFrame) -> dict:
+    """Per-rung counts + the unanchored counter (the reference's
+    ReconcileStats.CodexThreadsUnanchored analog, codex.go:115-117):
+    an unanchored thread stays visible in its trace, never attached to
+    a wrong target — reported, not dropped."""
+    by_rung = {
+        r["matched_by"]: r["count"]
+        for r in reconciled.groupBy("matched_by").count().collect()
+    }
+    return {
+        "matched_identity": by_rung.get("identity", 0),
+        "matched_agent_path": by_rung.get("agent_path", 0),
+        "matched_overlap": by_rung.get("overlap", 0),
+        "threads_unanchored": by_rung.get(None, 0),
+    }

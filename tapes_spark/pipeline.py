@@ -43,6 +43,7 @@ from tapes_spark.functions.normalize import (
 from tapes_spark.operators import aggregate as agg
 from tapes_spark.operators import route
 from tapes_spark.operators.classify import with_call_kind
+from tapes_spark.operators.dropreason import with_drop_reason
 from tapes_spark.operators.enrich import enrich_pricing, enrich_role
 from tapes_spark.functions.hashing import chain_hashes
 from tapes_spark.operators.links import link_tape
@@ -75,8 +76,11 @@ def build_enriched(
     cluster with the input Iceberg table bucketed by conv_id even this
     exchange disappears (storage-partitioned scan).
     """
-    quarantined = transcripts.filter(~F.col("role").isin(*VALID_ROLES))
-    valid = transcripts.filter(F.col("role").isin(*VALID_ROLES))
+    # C8: the ordered drop-reason ladder decides derivability; quarantined
+    # rows keep their reason (counted, never dropped from raw)
+    flagged = with_drop_reason(transcripts)
+    quarantined = flagged.filter(F.col("drop_reason").isNotNull())
+    valid = flagged.filter(F.col("drop_reason").isNull()).drop("drop_reason")
 
     parsed = with_parsed_features(valid)
     # split-union so the Arrow round-trip ships ONLY tagged rows (~10% of
@@ -252,6 +256,11 @@ def derive_report(result: PipelineResult) -> dict:
     quarantined = result.metrics.get("quarantined_rows")
     if quarantined is not None and not isinstance(quarantined, (int, float)):
         report["quarantined_count"] = quarantined.count()
+        # C8: per-reason histogram over the closed vocabulary
+        report["drop_reason_histogram"] = {
+            r["drop_reason"]: r["count"]
+            for r in quarantined.groupBy("drop_reason").count().collect()
+        }
         report["quarantined_samples"] = [
             {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
              "role": r["role"]}

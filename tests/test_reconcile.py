@@ -81,3 +81,69 @@ def test_ambiguous_claim_falls_through_to_overlap(spark, transcripts):
     got = rec.collect()[0]
     assert got["matched_by"] == "overlap"
     assert got["conv_id"] == "conv-000001"
+
+
+class TestAgentPathRung:
+    """Codex degrade ladder (codex.go:93-117): agent_path joins only
+    while unambiguous; unanchored threads are counted, never guessed."""
+
+    def _alien(self, spark, agent, path):
+        return spark.createDataFrame(
+            [(agent, path, 0, "user", "no signature overlap zzz qqq", "",
+              None)],
+            "agent_id string, agent_path string, turn_idx int, role string,"
+            " text string, tool string, ts timestamp",
+        )
+
+    def test_unique_path_anchors(self, spark, transcripts):
+        anchors = spark.createDataFrame(
+            [("/agents/reviewer", "conv-000003")],
+            "agent_path string, conv_id string",
+        )
+        rec = reconcile_transcripts(
+            transcripts, self._alien(spark, "agent-p", "/agents/reviewer"),
+            spawn_anchors=anchors,
+        )
+        row = rec.collect()[0]
+        assert row["matched_by"] == "agent_path"
+        assert row["conv_id"] == "conv-000003"
+
+    def test_reused_path_refuses_to_guess(self, spark, transcripts):
+        from tapes_spark.operators.reconcile import reconcile_report
+
+        anchors = spark.createDataFrame(
+            [("/agents/reviewer", "conv-000003"),
+             ("/agents/reviewer", "conv-000004")],
+            "agent_path string, conv_id string",
+        )
+        rec = reconcile_transcripts(
+            transcripts, self._alien(spark, "agent-p", "/agents/reviewer"),
+            spawn_anchors=anchors,
+        )
+        row = rec.collect()[0]
+        assert row["matched_by"] is None and row["conv_id"] is None
+        assert reconcile_report(rec)["threads_unanchored"] == 1
+
+    def test_agent_claiming_two_paths_is_ambiguous(self, spark, transcripts):
+        anchors = spark.createDataFrame(
+            [("/a", "conv-000003"), ("/b", "conv-000004")],
+            "agent_path string, conv_id string",
+        )
+        two = self._alien(spark, "agent-p", "/a").unionByName(
+            self._alien(spark, "agent-p", "/b")
+        )
+        rec = reconcile_transcripts(transcripts, two, spawn_anchors=anchors)
+        assert rec.collect()[0]["matched_by"] is None
+
+    def test_identity_beats_agent_path(self, spark, transcripts):
+        anchors = spark.createDataFrame(
+            [("/a", "conv-000004")], "agent_path string, conv_id string"
+        )
+        claimed = self._alien(spark, "agent-p", "/a").withColumn(
+            "claimed_conv_id", F.lit("conv-000002")
+        )
+        rec = reconcile_transcripts(transcripts, claimed,
+                                    spawn_anchors=anchors)
+        row = rec.collect()[0]
+        assert row["matched_by"] == "identity"
+        assert row["conv_id"] == "conv-000002"
