@@ -755,6 +755,48 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# spanembed: chunked embeddings with best-chunk-per-span collapse
+# (reference store.go:568-612: 4x over-fetch of nearest CHUNKS, then
+# DISTINCT ON span keeping the best-matching chunk, then top-k spans).
+# The driver embeddings table stands in as the chunk table: every 4
+# consecutive vec_ids form one span's chunks.
+# --------------------------------------------------------------------------
+
+def q_chunked_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tapes_spark.operators.chunking import chunked_topk_spans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    chunks = emb.select(
+        F.floor(F.col("vec_id") / 4).alias("span_id"),
+        (F.col("vec_id") % 4).alias("chunk_idx"),
+        "embedding",
+    )
+    return chunked_topk_spans(chunks, list(qvec), k=10)
+
+
+_CHUNKED_SQL = """
+WITH nearest AS (
+  SELECT vec_id // 4 AS span_id, vec_id % 4 AS chunk_idx,
+         round(list_cosine_similarity(
+             embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+             6) AS cosine
+  FROM embeddings
+  ORDER BY cosine DESC, span_id, chunk_idx
+  LIMIT 40
+), best AS (
+  SELECT span_id, chunk_idx AS best_chunk_idx, cosine AS score,
+         row_number() OVER (PARTITION BY span_id
+                            ORDER BY cosine DESC, chunk_idx) AS rn
+  FROM nearest
+)
+SELECT span_id, best_chunk_idx, score
+FROM best WHERE rn = 1
+ORDER BY score DESC, span_id
+LIMIT 10
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -777,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
+        "chunked_span_topk": q_chunked_span_topk,
         "quality_by_source": q_quality_by_source,
         "asof_attach": q_asof_attach,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -805,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "cosine_topk": _COSINE_SQL,
         "cosine_dup_pairs": _COSINE_DUP_SQL,
+        "chunked_span_topk": _CHUNKED_SQL,
         "quality_by_source": _quality_sql(),
         "asof_attach": _ASOF_SQL,
         # minhash output == exact Jaccard at this threshold (see
