@@ -700,16 +700,56 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_perm=128, bands=32, threshold=0.8)
 
 
-# non-SQL-expressible op: registered WITHOUT an oracle — the driver
-# records the weaker rows-only check (per the contract); the real
-# correctness gates are tests/test_dedup_similarity.py (hamming bounds,
-# identical-text zero-hamming, determinism)
-
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs.  The pigeonhole candidate join (4x16-bit
+    chunks) is EXACT for hamming <= 3, so the output equals all-pairs
+    hamming <= 3 — which the DuckDB oracle below recomputes from first
+    principles (FNV-1a per token via list_reduce, per-bit majority vote,
+    brute all-pairs hamming)."""
     from tapes_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+# The SQL re-implementation of the deterministic SimHash: FNV-1a folds
+# one byte per list_reduce step in HUGEINT arithmetic (xor touches only
+# the low 8 bits, so it is expressed as h - h%256 + xor(h%256, b)); the
+# per-token hash is reduced mod 2^61-1 exactly like hash_token, so bits
+# 61-63 are always 0 and only bits 0..60 need the majority vote.  VALID
+# FOR ASCII CORPORA ONLY (unicode(char) == utf-8 byte); the driver
+# documents tables are pure ASCII (verified), a non-ASCII corpus would
+# need byte-level splitting DuckDB SQL cannot express.
+_SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(string_split(token, ''), c -> unicode(c)::HUGEINT)),
+      (h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                 * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    ) % 2305843009213693951::HUGEINT AS fnv
+  FROM tok
+), bits AS (
+  SELECT doc_id, j,
+         CASE WHEN 2 * sum(((fnv // (1::BIGINT << j)::HUGEINT) % 2)::BIGINT)
+                   >= count(*) THEN 1 ELSE 0 END AS bit
+  FROM hashed, generate_series(0, 60) t(j)
+  GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id, list(bit ORDER BY j) AS bits FROM bits GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         len(list_filter(generate_series(1, 61),
+                         i -> a.bits[i] != b.bits[i]))::INT AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -854,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash output == exact Jaccard at this threshold (see
         # q_minhash_lsh_pairs docstring for the recall argument)
         "minhash_lsh_pairs": _JACCARD_SQL,
-        # simhash_pairs intentionally absent: FNV/SimHash signature
-        # generation is not SQL-expressible; driver runs rows-only checks
+        # simhash recomputed from first principles in SQL (list_reduce
+        # FNV + majority vote); pigeonhole candidates are exact at h<=3
+        "simhash_pairs": _SIMHASH_SQL,
     }

@@ -35,6 +35,13 @@ MED_TURNS = int(os.environ.get("BENCH_TURNS", "30"))
 # on identical code.  Peak throughput is still reported at SPARK_GRAFT_CPUS.
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = SCALE_N * 4
+# the scaling pair runs on its own (smaller) table so three measured runs
+# per level stay affordable; the host's +-40% throughput swings mean a
+# single sample per level is meaningless — the artifact of record takes
+# min-of-3 after a warmup at EACH level (min is the least-noise estimator
+# when noise only ever adds time)
+SCALE_CONVS = int(os.environ.get("BENCH_SCALE_CONVS", "100000"))
+SCALE_MEAS = int(os.environ.get("BENCH_SCALE_MEAS", "3"))
 # BENCH_FAST=1 skips the (N, 4N) scaling pair (the slow 2-core leg) and
 # reports only peak throughput + per-query timings — for time-boxed runs
 FAST = os.environ.get("BENCH_FAST", "") == "1"
@@ -71,12 +78,12 @@ print("BENCH_RESULT " + json.dumps(
 """
 
 
-def _bench_table() -> str:
+def _bench_table(n_convs: int) -> str:
     from tapes_spark.fixtures import write_transcripts
 
-    path = f"/tmp/tapes_bench_{N_CONVS}x{MED_TURNS}_s42.parquet"
+    path = f"/tmp/tapes_bench_{n_convs}x{MED_TURNS}_s42.parquet"
     if not os.path.exists(path):
-        write_transcripts(path, n_convs=N_CONVS, median_turns=MED_TURNS, seed=42)
+        write_transcripts(path, n_convs=n_convs, median_turns=MED_TURNS, seed=42)
     return path
 
 
@@ -104,29 +111,41 @@ def main() -> None:
     out: dict = {"unit": "sec", "sf": SF_DIR, "queries": {}}
     total = 0.0
 
-    path = _bench_table()
+    path = _bench_table(N_CONVS)
     out["pipeline"] = {
         "note": (
             "scaling pair uses low core counts: above ~16 threads this VM "
             "saturates memory bandwidth on text work (0.90 eff at 2->8 vs "
-            "0.39 at 8->32 on identical code); see BASELINE.md"
+            "0.39 at 8->32 on identical code); each level is warmup + "
+            "min-of-%d in its own subprocess; see BASELINE.md"
+            % SCALE_MEAS
         ),
     }
     if not FAST:
-        # scaling pair (N, 4N) — the north-rule evidence
-        wall_n, _, _ = _run_pipeline_level(SCALE_N, path, n_meas=1)
-        wall_4n, turns, _ = _run_pipeline_level(SCALE_4N, path, n_meas=2)
+        # scaling pair (N, 4N) — the north-rule evidence.  Warmup +
+        # min-of-SCALE_MEAS at EACH level: the r01 artifact recorded a
+        # single 2-core sample and host noise sank the shipped number
+        scale_path = _bench_table(SCALE_CONVS)
+        wall_n, turns_s, walls_n = _run_pipeline_level(
+            SCALE_N, scale_path, n_meas=SCALE_MEAS
+        )
+        wall_4n, _, walls_4n = _run_pipeline_level(
+            SCALE_4N, scale_path, n_meas=SCALE_MEAS
+        )
         scaling_eff = (
-            (turns / wall_4n) / (turns / wall_n)
+            (turns_s / wall_4n) / (turns_s / wall_n)
         ) / (SCALE_4N / SCALE_N)
         out["pipeline"].update(
             {
                 "scale_n": SCALE_N,
                 "scale_4n": SCALE_4N,
+                "scale_turns": turns_s,
                 "wall_sec_n": round(wall_n, 3),
                 "wall_sec_4n": round(wall_4n, 3),
-                "turns_per_sec_n": round(turns / wall_n, 1),
-                "turns_per_sec_4n": round(turns / wall_4n, 1),
+                "walls_n": [round(w, 1) for w in walls_n],
+                "walls_4n": [round(w, 1) for w in walls_4n],
+                "turns_per_sec_n": round(turns_s / wall_n, 1),
+                "turns_per_sec_4n": round(turns_s / wall_4n, 1),
                 "scaling_efficiency": round(scaling_eff, 3),
             }
         )
@@ -162,15 +181,10 @@ def main() -> None:
         out["queries"][name] = round(dt, 3)
         total += dt
 
-    from tapes_spark.operators.dedup import minhash_lsh_pairs
+    # the entrymod loop already timed minhash_lsh_pairs (the 128-perm
+    # driver configuration); only the embedding-LSH variant needs a
+    # manual entry (its brute counterpart is excluded above)
     from tapes_spark.operators.similarity import cosine_dup_pairs_lsh
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    minhash_lsh_pairs(docs, threshold=0.8).count()
-    dt = time.time() - t0
-    out["queries"]["minhash_lsh_pairs"] = round(dt, 3)
-    total += dt
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.first()["embedding"])
