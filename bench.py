@@ -79,11 +79,20 @@ print("BENCH_RESULT " + json.dumps(
 
 
 def _bench_table(n_convs: int) -> str:
-    from tapes_spark.fixtures import write_transcripts
+    import hashlib
 
-    path = f"/tmp/tapes_bench_{n_convs}x{MED_TURNS}_s42.parquet"
+    import tapes_spark.fixtures as fx
+
+    # cache key includes the generator's content hash: a stale table from
+    # an earlier generator version would silently bench a different corpus
+    gen_ver = hashlib.sha256(
+        open(fx.__file__, "rb").read()
+    ).hexdigest()[:8]
+    path = f"/tmp/tapes_bench_{n_convs}x{MED_TURNS}_s42_{gen_ver}.parquet"
     if not os.path.exists(path):
-        write_transcripts(path, n_convs=n_convs, median_turns=MED_TURNS, seed=42)
+        fx.write_transcripts(
+            path, n_convs=n_convs, median_turns=MED_TURNS, seed=42
+        )
     return path
 
 

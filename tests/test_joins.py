@@ -147,3 +147,15 @@ class TestThreadScopedVerdicts:
     def test_disagreeing_thread_starts_new_group(self, attachments):
         assert attachments[9]["tool_turn_idx"] == 1
         assert attachments[9]["disposition"] == "BLOCK"
+
+    def test_verdict_fan_in_bounded(self, attachments):
+        # spans_corpus_test.go:88-89: only a stage1+stage2 pair may share
+        # a judged tool — consume-once pops the candidate for other groups
+        from collections import Counter
+
+        shared = Counter(
+            a["tool_turn_idx"]
+            for a in attachments.values()
+            if a["tool_turn_idx"] is not None
+        )
+        assert all(v <= 2 for v in shared.values())
