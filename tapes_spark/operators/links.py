@@ -229,6 +229,59 @@ def rejoin_links(
     )
 
 
+def with_spawn_labels(
+    tool_tape: DataFrame,
+    rejoins: DataFrame,
+    transcripts: DataFrame | None = None,
+    agent_col: str = "agent_id",
+) -> DataFrame:
+    """J12: fold the reconciler's per-spawn labels onto the spawning
+    Task tool rows (reference spawnToolInput, spans.go:553-575: the
+    console's subagent panel reads subagent_type/description from the
+    spawn call's input; reconcile labels fill them at derive time).
+
+    *rejoins* is :func:`rejoin_links` output; *transcripts* optionally
+    carries ``agent_type`` / ``description`` columns (the anchor-row
+    labels) keyed by *agent_col*.
+    """
+    labels = rejoins.select(
+        "conv_id",
+        F.col("to_turn_idx").alias("turn_idx"),
+        "agent_id",
+    )
+    if transcripts is not None and "agent_type" in transcripts.columns:
+        extra = transcripts.select(
+            F.col(agent_col).alias("agent_id"),
+            "agent_type",
+            *(
+                ["description"]
+                if "description" in transcripts.columns
+                else []
+            ),
+        ).distinct()
+        labels = labels.join(extra, "agent_id", "left")
+    if "agent_type" not in labels.columns:
+        labels = labels.withColumn(
+            "agent_type", F.lit(None).cast("string")
+        )
+    if "description" not in labels.columns:
+        labels = labels.withColumn(
+            "description", F.lit(None).cast("string")
+        )
+    return tool_tape.join(
+        F.broadcast(
+            labels.select(
+                "conv_id", "turn_idx",
+                F.col("agent_id").alias("spawned_agent_id"),
+                F.col("agent_type").alias("spawned_agent_type"),
+                F.col("description").alias("spawned_description"),
+            )
+        ),
+        ["conv_id", "turn_idx"],
+        "left",
+    )
+
+
 def link_tape(
     enriched: DataFrame,
     tool_tape: DataFrame,

@@ -139,3 +139,47 @@ class TestRejoin:
         )
         rec = reconcile_transcripts(transcripts, alien)
         assert rejoin_links(rec, alien, tt).count() == 0
+
+
+class TestSpawnLabels:
+    def test_labels_fold_onto_task_span(self, spark, transcripts):
+        """J12: the spawning Task row carries the reconciled subagent's
+        id/type/description; non-spawn rows carry nulls."""
+        from tapes_spark.dims import tool_dim
+        from tapes_spark.operators.links import with_spawn_labels
+        from tapes_spark.operators.route import tool_tape as build_tool_tape
+        from tapes_spark.pipeline import build_enriched
+
+        enriched, _ = build_enriched(spark, transcripts)
+        tt = build_tool_tape(enriched, tool_dim(spark))
+        conv = sorted(
+            r["conv_id"]
+            for r in tt.filter(F.col("is_task_tool"))
+            .select("conv_id").distinct().collect()
+        )[0]
+        first_task_idx = (
+            tt.filter(F.col("is_task_tool") & (F.col("conv_id") == conv))
+            .agg(F.min("turn_idx")).collect()[0][0]
+        )
+        child = (
+            transcripts.filter(
+                (F.col("conv_id") == conv)
+                & (F.col("turn_idx") > first_task_idx)
+            )
+            .withColumn("agent_id", F.lit("agent-A"))
+            .withColumn("claimed_conv_id", F.lit(conv))
+            .withColumn("agent_type", F.lit("reviewer"))
+            .withColumn("description", F.lit("/agents/reviewer"))
+            .drop("conv_id")
+        )
+        rec = reconcile_transcripts(transcripts, child)
+        rejoins = rejoin_links(rec, child, tt)
+        labeled = with_spawn_labels(tt, rejoins, child)
+        spawned = labeled.filter(F.col("spawned_agent_id").isNotNull()).collect()
+        assert len(spawned) == 1
+        (s,) = spawned
+        assert s["is_task_tool"]
+        assert s["spawned_agent_id"] == "agent-A"
+        assert s["spawned_agent_type"] == "reviewer"
+        assert s["spawned_description"] == "/agents/reviewer"
+        assert labeled.count() == tt.count()  # left join adds no rows
