@@ -168,7 +168,13 @@ def run_pipeline(
             sinks["conv_aggregates"], session_meta
         )
     if with_verdict_attach:
-        sinks["verdict_attachments"] = attach_verdicts(enriched)
+        va = attach_verdicts(enriched)
+        if persist or stage_dir:
+            # link_tape embeds this subtree for its verdict links; without
+            # a persist the whole matcher fold runs TWICE (once per sink
+            # job).  The output is tiny (one row per check turn)
+            va = va.persist(StorageLevel.MEMORY_AND_DISK)
+        sinks["verdict_attachments"] = va
     # J4/J5 as-of attachments: web summaries -> most recent preceding
     # WebFetch/WebSearch call; plan-name turns -> preceding ExitPlanMode
     sinks["web_attachments"] = attach_asof(
