@@ -136,6 +136,26 @@ def run_pipeline(
 
         transcripts = apply_corrections(transcripts, corrections)
     enriched, quarantined = build_enriched(spark, transcripts)
+    # Stage-boundary column diet: after enrichment, raw `text` is read
+    # only by the tool pairing (call/result text), the verdict matcher
+    # (tool calls, <transcript> user turns, checks), and the title fold —
+    # null it on the bulk rows (plain responses/prompts), and pre-truncate
+    # text_preview to its single consumer's cap.  The staged frame (and
+    # the 9 sink scans over it) otherwise carries THREE near-full copies
+    # of the corpus text; at 100 TB this is the difference between
+    # staging one copy and three.  text_norm stays full (block sigs,
+    # response previews, export).
+    keep_raw = (
+        (F.col("role") == "tool")
+        | ((F.col("role") == "assistant") & (F.col("tool") != ""))
+        | ((F.col("role") == "user") & F.col("text").contains("<transcript>"))
+        | F.col("call_kind").isin("check", "title")
+    )
+    enriched = enriched.withColumn(
+        "text", F.when(keep_raw, F.col("text"))
+    ).withColumn(
+        "text_preview", F.substring("text_preview", 1, route.PREVIEW_CHARS)
+    )
     if stage_dir:
         enriched.write.mode("overwrite").parquet(f"{stage_dir}/enriched")
         enriched = spark.read.parquet(f"{stage_dir}/enriched")
