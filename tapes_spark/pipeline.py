@@ -105,6 +105,25 @@ def build_enriched(
         enrich_role(classified, dims_mod.role_dim(spark)),
         dims_mod.pricing_dim(spark),
     )
+    # Column diet BEFORE the wide exchange: past enrichment, raw `text`
+    # is read only by the tool pairing (call/result text), the verdict
+    # matcher (tool calls, <transcript> user turns, checks), and the
+    # title fold — null it on the bulk rows (plain responses/prompts),
+    # and pre-truncate text_preview to its single consumer's 120-char
+    # cap.  Without this the one conv_id shuffle, the staged parquet,
+    # and every sink scan carry THREE near-full copies of the corpus
+    # text; text_norm stays full (block sigs, response previews, export).
+    keep_raw = (
+        (F.col("role") == "tool")
+        | ((F.col("role") == "assistant") & (F.col("tool") != ""))
+        | ((F.col("role") == "user") & F.col("text").contains("<transcript>"))
+        | F.col("call_kind").isin("check", "title")
+    )
+    enriched = enriched.withColumn(
+        "text", F.when(keep_raw, F.col("text"))
+    ).withColumn(
+        "text_preview", F.substring("text_preview", 1, 120)
+    )
     # explicit partition count: column-only repartition lets AQE coalesce
     # to ~64MB advisory partitions, capping downstream parallelism below
     # the core count (observed: 12 tasks on 32 cores)
@@ -136,26 +155,6 @@ def run_pipeline(
 
         transcripts = apply_corrections(transcripts, corrections)
     enriched, quarantined = build_enriched(spark, transcripts)
-    # Stage-boundary column diet: after enrichment, raw `text` is read
-    # only by the tool pairing (call/result text), the verdict matcher
-    # (tool calls, <transcript> user turns, checks), and the title fold —
-    # null it on the bulk rows (plain responses/prompts), and pre-truncate
-    # text_preview to its single consumer's cap.  The staged frame (and
-    # the 9 sink scans over it) otherwise carries THREE near-full copies
-    # of the corpus text; at 100 TB this is the difference between
-    # staging one copy and three.  text_norm stays full (block sigs,
-    # response previews, export).
-    keep_raw = (
-        (F.col("role") == "tool")
-        | ((F.col("role") == "assistant") & (F.col("tool") != ""))
-        | ((F.col("role") == "user") & F.col("text").contains("<transcript>"))
-        | F.col("call_kind").isin("check", "title")
-    )
-    enriched = enriched.withColumn(
-        "text", F.when(keep_raw, F.col("text"))
-    ).withColumn(
-        "text_preview", F.substring("text_preview", 1, route.PREVIEW_CHARS)
-    )
     if stage_dir:
         enriched.write.mode("overwrite").parquet(f"{stage_dir}/enriched")
         enriched = spark.read.parquet(f"{stage_dir}/enriched")
