@@ -35,12 +35,14 @@ MED_TURNS = int(os.environ.get("BENCH_TURNS", "30"))
 # on identical code.  Peak throughput is still reported at SPARK_GRAFT_CPUS.
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_4N = SCALE_N * 4
-# the scaling pair runs on its own (smaller) table so three measured runs
-# per level stay affordable; the host's +-40% throughput swings mean a
-# single sample per level is meaningless — the artifact of record takes
-# min-of-3 after a warmup at EACH level (min is the least-noise estimator
-# when noise only ever adds time)
-SCALE_CONVS = int(os.environ.get("BENCH_SCALE_CONVS", "100000"))
+# the scaling pair runs on the same full-size table as the peak
+# measurement: fixed per-run overheads (driver planning, job scheduling,
+# JIT) eat the fast leg on smaller tables (measured 0.69 at 3M turns vs
+# 0.72-0.78 at 6M on identical code).  The host's +-40% throughput
+# swings mean a single sample per level is meaningless — the artifact of
+# record takes min-of-3 after a warmup at EACH level (min is the
+# least-noise estimator when noise only ever adds time)
+SCALE_CONVS = int(os.environ.get("BENCH_SCALE_CONVS", str(N_CONVS)))
 SCALE_MEAS = int(os.environ.get("BENCH_SCALE_MEAS", "3"))
 # BENCH_FAST=1 skips the (N, 4N) scaling pair (the slow 2-core leg) and
 # reports only peak throughput + per-query timings — for time-boxed runs

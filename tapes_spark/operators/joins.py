@@ -54,6 +54,32 @@ def with_first_capture(df: DataFrame, content_col: str = "text_norm") -> DataFra
     ).withColumn("content_hash", content_hash)
 
 
+def with_resume_boundary(df: DataFrame) -> DataFrame:
+    """A11: the resume-boundary fold (reference spans.go:480-490,
+    lastFreshAssistantIdx).  A resumed/replayed session re-sends history;
+    system-role turns arriving AFTER the conversation's last FRESH
+    (first-capture) assistant turn are harness context replay, not
+    conversation — the reference surfaces them as injected event spans.
+
+    Adds ``is_system_insert`` (bool).  Requires is_first_capture
+    (:func:`with_first_capture`).  A conversation with no fresh assistant
+    turn marks every system turn (boundary = -inf), like the reference's
+    synthetic-trace handling.
+    """
+    w = Window.partitionBy("conv_id")
+    last_fresh = F.max(
+        F.when(
+            (F.col("role") == "assistant") & F.col("is_first_capture"),
+            F.col("turn_idx"),
+        )
+    ).over(w)
+    return df.withColumn(
+        "is_system_insert",
+        (F.col("role") == "system")
+        & (F.col("turn_idx") > F.coalesce(last_fresh, F.lit(-1))),
+    )
+
+
 def pair_tool_calls(df: DataFrame) -> DataFrame:
     """J2: one row per tool CALL with its first result (if any).
 

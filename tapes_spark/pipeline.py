@@ -51,6 +51,7 @@ from tapes_spark.operators.joins import (
     attach_asof,
     attach_verdicts,
     with_first_capture,
+    with_resume_boundary,
 )
 from tapes_spark.operators.parse import with_parsed_features
 
@@ -129,7 +130,9 @@ def build_enriched(
     # the core count (observed: 12 tasks on 32 cores)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     co_partitioned = enriched.repartition(n_parts, "conv_id")
-    ordered = agg.with_traces(with_first_capture(co_partitioned))
+    ordered = with_resume_boundary(
+        agg.with_traces(with_first_capture(co_partitioned))
+    )
     return ordered, quarantined
 
 

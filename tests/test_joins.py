@@ -159,3 +159,38 @@ class TestThreadScopedVerdicts:
             if a["tool_turn_idx"] is not None
         )
         assert all(v <= 2 for v in shared.values())
+
+
+class TestResumeBoundary:
+    def test_system_inserts_after_last_fresh_assistant(self, spark):
+        """A11 (spans.go:480-490): system turns after the last FRESH
+        assistant turn are context replay; earlier ones are not.  A
+        re-sent (duplicate) assistant turn does not move the boundary."""
+        from tapes_spark.operators.joins import (
+            with_first_capture,
+            with_resume_boundary,
+        )
+
+        rows = [
+            ("C", 0, "system", "sys prompt"),
+            ("C", 1, "user", "hi"),
+            ("C", 2, "assistant", "fresh answer"),
+            ("C", 3, "system", "mid insert"),       # before boundary
+            ("C", 4, "assistant", "last fresh"),
+            ("C", 5, "assistant", "fresh answer"),  # duplicate of turn 2
+            ("C", 6, "system", "replayed context"),  # after boundary
+            ("C", 7, "system", "another insert"),    # after boundary
+            # conv with no fresh assistant: every system turn marks
+            ("D", 0, "system", "alone"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text_norm string"
+        )
+        out = {
+            (r["conv_id"], r["turn_idx"]): r["is_system_insert"]
+            for r in with_resume_boundary(with_first_capture(df)).collect()
+        }
+        assert out[("C", 0)] is False and out[("C", 3)] is False
+        assert out[("C", 6)] is True and out[("C", 7)] is True
+        assert out[("C", 2)] is False  # non-system never marks
+        assert out[("D", 0)] is True
