@@ -142,18 +142,11 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def _fnv_hashes(tokens) -> np.ndarray:
-    """Vectorized FNV-1a over an array of strings — bit-identical to
-    :func:`hash_token` but folded across ALL tokens at once: tokens are
-    packed into a padded byte matrix and the hash state advances one byte
-    POSITION per numpy op instead of one byte per Python op.  Cost is
-    O(max_token_len) vector ops per call, not O(total_bytes) Python ops.
-    """
-    n = len(tokens)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    encoded = [t.encode("utf-8") for t in tokens]
-    lens = np.fromiter((len(e) for e in encoded), count=n, dtype=np.int64)
+def _fnv_block(encoded: list[bytes], lens: np.ndarray) -> np.ndarray:
+    """Padded-matrix FNV-1a over one near-uniform-length block: the hash
+    state advances one byte POSITION per numpy op instead of one byte per
+    Python op.  Callers bucket by length first so the pad stays bounded."""
+    n = len(encoded)
     maxlen = int(lens.max())
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     if maxlen > 0:
@@ -165,7 +158,42 @@ def _fnv_hashes(tokens) -> np.ndarray:
             for j in range(maxlen):
                 m = mask[:, j]
                 h[m] = (h[m] ^ buf[m, j]) * _FNV_PRIME
-    return h % np.uint64(_MERSENNE)
+    return h
+
+
+def _fnv_hashes(tokens) -> np.ndarray:
+    """Vectorized FNV-1a over an array of strings — bit-identical to
+    :func:`hash_token` but folded across whole length-buckets at once.
+
+    Tokens are bucketed by length OCTAVE before padding: a flat padded
+    matrix is O(n x max_token_len), so one pathological long token (a
+    minified no-whitespace blob among thousands of short tokens) would
+    inflate it to GBs; within an octave the pad waste is < 2x, keeping
+    total work near O(total_bytes).  Tiny groups of extreme-length
+    outliers fall back to the scalar reference hash (the per-position
+    vector loop degenerates to per-byte numpy calls there).
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(e) for e in encoded), count=n, dtype=np.int64)
+    out = np.empty(n, dtype=np.uint64)
+    octave = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        # frexp exponent = floor(log2)+1: octave k covers [2^(k-1), 2^k)
+        octave[nz] = np.frexp(lens[nz].astype(np.float64))[1]
+    for o in np.unique(octave):
+        idx = np.nonzero(octave == o)[0]
+        blk_lens = lens[idx]
+        maxlen = int(blk_lens.max())
+        if maxlen > 1024 and len(idx) * 8 < maxlen:
+            for i in idx:
+                out[i] = hash_token(str(tokens[i]))  # already < _MERSENNE
+            continue
+        out[idx] = _fnv_block([encoded[i] for i in idx], blk_lens)
+    return out % np.uint64(_MERSENNE)
 
 
 def _batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -435,11 +463,26 @@ def simhash_pairs(
         F.col("doc_id").alias("doc2"), F.col("simhash").alias("sh2"),
         "chunk_idx", "chunk",
     )
+    # a pair is emitted ONLY from the first chunk where it collides — the
+    # same first-collision trick the MinHash band join uses: since both
+    # full signatures ride the join, whether an EARLIER chunk j < chunk_idx
+    # also matched is recomputable in place (shiftright+mask on sh1/sh2),
+    # so the candidate set is exact-once without a (chunks x pairs)-wide
+    # .distinct() shuffle.  Flat OR-chain (stays in whole-stage codegen).
+    def _chunk(col: str, j: int):
+        return (
+            F.shiftright(F.col(col), j * 16).bitwiseAND(F.lit(0xFFFF))
+        )
+
+    collide_earlier = F.lit(False)
+    for j in range(3):
+        collide_earlier = collide_earlier | (
+            (F.col("chunk_idx") > j) & (_chunk("sh1", j) == _chunk("sh2", j))
+        )
     cand = (
         left.join(right, ["chunk_idx", "chunk"])
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter((F.col("doc1") < F.col("doc2")) & ~collide_earlier)
         .select("doc1", "doc2", "sh1", "sh2")
-        .distinct()
     )
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
     return (

@@ -133,6 +133,66 @@ def cosine_dup_pairs_brute(
     )
 
 
+def lsh_bucket_arrays(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 12,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, buckets array<long> of length n_tables) — the whole batch's
+    sign-bit codes from ONE numpy matmul (n x dim) @ (dim x tables*bits)
+    inside mapInPandas.  The per-row interpreted higher-order-function
+    form costs tables*bits*dim multiplies PER ROW in Catalyst's
+    interpreter; this is the vectorized equivalent for the pair-join path
+    (same seeded planes, so both paths are deterministic)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    planes = _planes(dim, n_tables, bits, seed)
+    # (dim, n_tables*bits), column t*bits+b = plane[t, b]
+    proj = planes.reshape(n_tables * bits, dim).T.copy()
+    weights = (1 << np.arange(bits, dtype=np.int64))[None, None, :]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("buckets", ArrayType(LongType())),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n:
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                signs = (mat @ proj > 0).reshape(n, n_tables, bits)
+                codes = (signs * weights).sum(axis=2, dtype=np.int64)
+                bucket_lists = list(codes)
+            else:
+                bucket_lists = []
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "buckets": bucket_lists}
+            )
+
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    return (
+        embeddings.select(id_col, vec_col)
+        .repartition(n_parts, id_col)  # single parquet file = single task
+        .mapInPandas(compute, out_schema)
+    )
+
+
 def cosine_dup_pairs_lsh(
     embeddings: DataFrame,
     dim: int,
@@ -149,26 +209,51 @@ def cosine_dup_pairs_lsh(
     Recall vs the brute baseline is pytest-gated; at 0.9 cosine the
     12-table x 8-bit configuration collides with probability
     1-(1-(1-theta/pi)^8)^12 ~ 0.97.
+
+    The candidate join carries ONLY (id, buckets) — 12 longs — never the
+    embedding vectors: a pair is emitted from the FIRST table where it
+    collides (no earlier j < table_idx has buckets1[j] == buckets2[j]),
+    the same in-join dedup the MinHash band join uses, so no
+    (tables x pairs)-wide dropDuplicates shuffle and no full float arrays
+    riding the fat stage.  Vectors are re-joined once, for the deduped
+    pair set only, for the exact cosine recheck.
     """
-    bucketed = with_lsh_buckets(
-        embeddings, dim, n_tables, bits, seed, vec_col
-    ).select(id_col, vec_col, "table_idx", "bucket")
-    left = bucketed.select(
-        F.col(id_col).alias("vec1"), F.col(vec_col).alias("_va"),
+    bucketed = lsh_bucket_arrays(
+        embeddings, dim, n_tables, bits, seed, vec_col, id_col
+    )
+    exploded = bucketed.select(
+        id_col,
+        "buckets",
+        F.posexplode("buckets").alias("table_idx", "bucket"),
+    )
+    left = exploded.select(
+        F.col(id_col).alias("vec1"), F.col("buckets").alias("bk1"),
         "table_idx", "bucket",
     )
-    right = bucketed.select(
-        F.col(id_col).alias("vec2"), F.col(vec_col).alias("_vb"),
+    right = exploded.select(
+        F.col(id_col).alias("vec2"), F.col("buckets").alias("bk2"),
         "table_idx", "bucket",
     )
+    collide_earlier = F.lit(False)
+    for j in range(n_tables - 1):
+        collide_earlier = collide_earlier | (
+            (F.col("table_idx") > j) & (F.col("bk1")[j] == F.col("bk2")[j])
+        )
     cand = (
         left.join(right, ["table_idx", "bucket"])
-        .filter(F.col("vec1") < F.col("vec2"))
-        .select("vec1", "vec2", "_va", "_vb")
-        .dropDuplicates(["vec1", "vec2"])
+        .filter((F.col("vec1") < F.col("vec2")) & ~collide_earlier)
+        .select("vec1", "vec2")
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("vec1"), F.col(vec_col).alias("_va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("vec2"), F.col(vec_col).alias("_vb")
     )
     return (
-        cand.withColumn(
+        cand.join(va, "vec1")
+        .join(vb, "vec2")
+        .withColumn(
             "cosine", F.round(cosine_col(F.col("_va"), F.col("_vb")), 4)
         )
         .filter(F.col("cosine") >= threshold)
