@@ -485,8 +485,8 @@ def q_fingerprint_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_SQL = """
-SELECT sha256(array_to_string(list_sort(list_distinct(
-           string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint,
+SELECT sha256(array_to_string(list_sort(list_filter(list_distinct(
+           string_split_regex(text, '\\s+')), t -> t != '')), ' ')) AS fingerprint,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1
@@ -506,8 +506,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = """
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
-      AS token
+  SELECT doc_id, unnest(list_filter(list_distinct(string_split_regex(text, '\\s+')),
+                     t -> t != '')) AS token
   FROM documents
 ), sizes AS (
   SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1
@@ -548,9 +548,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_STATS_SQL = """
 WITH t AS (
   SELECT lang,
-         len(string_split_regex(trim(text), '\\s+')) AS token_count,
-         len(list_distinct(string_split_regex(trim(text), '\\s+')))
-             AS distinct_token_count
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+             AS token_count,
+         len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t != ''))) AS distinct_token_count
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
@@ -589,7 +590,7 @@ def _lang_id_sql() -> str:
     ) + " END"
     return f"""
 WITH t AS (
-  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
   FROM documents
 ), s AS (
   SELECT lang, {", ".join(score_exprs)} FROM t
@@ -657,7 +658,7 @@ def _quality_sql() -> str:
     return f"""
 WITH t AS (
   SELECT source,
-         string_split_regex(trim(text), '\\s+') AS toks,
+         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks,
          length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
              AS n_punct,
          length(text) AS n_chars
@@ -723,7 +724,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+         unnest(list_filter(list_distinct(string_split_regex(text, '\s+')),
+                            t -> t != '')) AS token
   FROM documents
 ), hashed AS (
   SELECT doc_id,

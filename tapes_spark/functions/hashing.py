@@ -82,6 +82,10 @@ def chain_hashes(df: DataFrame) -> DataFrame:
         "turn_idx",
         "block_sig",
         (F.col("call_kind") == "injected").alias("is_injected"),
+        # overlay tie-break (see operators/corrections.py): a corrected
+        # turn colliding on (conv_id, turn_idx) must fold in a stable
+        # order or the chain hashes differ between runs
+        *(["src_conv_id"] if "src_conv_id" in df.columns else []),
     )
     from tapes_spark.functions.partitioning import cluster_sorted
 

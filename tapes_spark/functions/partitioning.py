@@ -25,8 +25,18 @@ from pyspark.sql import functions as F
 
 def cluster_sorted(df: DataFrame, key: str, *order: str) -> DataFrame:
     """Hash-cluster *df* by *key* (one partition per key, planner-proof)
-    and sort each partition by (key, *order)."""
+    and sort each partition by (key, *order).
+
+    When the frame went through the attribution-correction overlay it
+    carries ``src_conv_id`` (the pre-overlay conv) — appended here as the
+    final tie-break, because a corrected turn keeps its original turn_idx
+    and may collide with the target conversation's own (conv_id,
+    turn_idx); without a total order the sequential folds above this sort
+    would be shuffle-nondeterministic."""
+    keys = list(order)
+    if "src_conv_id" in df.columns and "src_conv_id" not in keys:
+        keys.append("src_conv_id")
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(n, F.xxhash64(F.col(key))).sortWithinPartitions(
-        key, *order
+        key, *keys
     )

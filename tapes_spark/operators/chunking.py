@@ -39,11 +39,31 @@ from tapes_spark.operators.similarity import cosine_col
 CHUNK_TOKEN_BUDGET = 8000  # chunk.go:9
 AVG_CHARS_PER_TOKEN = 4  # chunk.go:17
 SEARCH_OVERFETCH = 4  # store.go:570
-_NUDGE_WINDOW = 64  # how far a cut may move to reach a newline
 
 
 def estimate_tokens(text: str) -> int:
     return (len(text) + AVG_CHARS_PER_TOKEN - 1) // AVG_CHARS_PER_TOKEN
+
+
+def _adjust_to_newline(text: str, lo: int, target: int, window: int) -> int:
+    """chunk.go:83-108 adjustToNewline: *target* moved to just after the
+    NEAREST newline within +-window (clamped to [lo, len]), ties toward
+    the earlier newline; target unchanged when none is close.  Cutting
+    after the newline keeps it as the tail of the current piece."""
+    if window < 1:
+        return target
+    low = max(target - window, lo)
+    high = min(target + window, len(text))
+    best = -1
+    best_dist = window + 1
+    for i in range(low, high):
+        if text[i] != "\n":
+            continue
+        dist = abs(i - target)
+        if dist < best_dist:
+            best_dist = dist
+            best = i
+    return target if best < 0 else best + 1
 
 
 def split_parts(
@@ -51,25 +71,32 @@ def split_parts(
     reported_tokens: int = 0,
     budget: int = CHUNK_TOKEN_BUDGET,
 ) -> list[str]:
-    """chunk.go splitParts: n roughly-equal contiguous pieces, cuts
-    nudged to a nearby newline; pieces concatenate to *text* exactly.
-    Returns [text] when it fits the budget."""
+    """chunk.go splitParts/splitRunesInto: n roughly-equal contiguous
+    pieces, each cut nudged to the nearest newline within a dynamic
+    window of (total/n)/8; pieces concatenate to *text* exactly.
+    Returns [text] when it fits the budget.  Python strings index by
+    code point, matching the reference's rune slicing."""
     tokens = reported_tokens or estimate_tokens(text)
     if tokens <= budget or len(text) < 2:
         return [text]
     n = max(2, (tokens + budget - 1) // budget)
     n = min(n, len(text))
-    cuts = [0]
-    for i in range(1, n):
-        target = (len(text) * i) // n
-        lo = max(cuts[-1] + 1, target - _NUDGE_WINDOW)
-        hi = min(len(text) - 1, target + _NUDGE_WINDOW)
-        nl = text.rfind("\n", lo, hi)
-        cut = nl + 1 if nl != -1 and nl + 1 > cuts[-1] else target
-        cut = max(cut, cuts[-1] + 1)
-        cuts.append(cut)
-    cuts.append(len(text))
-    return [text[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+    total = len(text)
+    window = (total // n) // 8
+    parts: list[str] = []
+    start = 0
+    for i in range(1, n + 1):
+        if start >= total:
+            break
+        end = total
+        if i < n:
+            end = _adjust_to_newline(text, start + 1, i * total // n, window)
+        if end <= start:
+            end = start + 1
+        end = min(end, total)
+        parts.append(text[start:end])
+        start = end
+    return parts
 
 
 _CHUNK_SCHEMA = StructType(

@@ -60,4 +60,16 @@ def apply_corrections(
         else F.col(c)
         for c in transcripts.columns
     ]
-    return joined.select(out_cols)
+    # src_conv_id (the pre-overlay attribution) is the stable tie-break
+    # the partition-sensitive folds need: a corrected turn keeps its
+    # original turn_idx, so it can collide with an existing (conv_id,
+    # turn_idx) in the target conversation — sorts by (conv_id, turn_idx)
+    # alone would then be shuffle-nondeterministic (chain hashes,
+    # first-capture flags differing between runs).  cluster_sorted /
+    # with_first_capture append this column to their ordering whenever it
+    # is present.  Uncorrected rows sort before corrected ones at the
+    # same index only through src_conv_id's lexicographic order — what
+    # matters is that SOME total order is stable.
+    return joined.select(
+        *out_cols, F.col("conv_id").alias("src_conv_id")
+    )

@@ -48,7 +48,13 @@ def with_first_capture(df: DataFrame, content_col: str = "text_norm") -> DataFra
     Deterministic: ordered by turn_idx within (conv_id, content_hash).
     """
     content_hash = F.sha2(F.col(content_col), 256)
-    w = Window.partitionBy("conv_id", content_hash).orderBy("turn_idx")
+    # src_conv_id (present after the correction overlay) breaks (conv_id,
+    # turn_idx) ties a conv-merging correction can create — without it the
+    # first-capture pick is shuffle-nondeterministic on such rows
+    order = [F.col("turn_idx")]
+    if "src_conv_id" in df.columns:
+        order.append(F.col("src_conv_id"))
+    w = Window.partitionBy("conv_id", content_hash).orderBy(*order)
     return df.withColumn(
         "is_first_capture", F.row_number().over(w) == 1
     ).withColumn("content_hash", content_hash)
@@ -381,6 +387,9 @@ def attach_verdicts(df: DataFrame) -> DataFrame:
         .select(
             "conv_id", "turn_idx", "role", "tool", "text", "call_kind",
             "verdict_disposition", "thread_id", "check_stage",
+            # overlay tie-break rides along when present (cluster_sorted
+            # appends it to the partition sort)
+            *(["src_conv_id"] if "src_conv_id" in df.columns else []),
         )
     )
     from tapes_spark.functions.partitioning import cluster_sorted

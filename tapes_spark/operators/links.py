@@ -34,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-LINK_KINDS = ("emits", "feeds", "verdict", "compaction-seam", "rejoin")
+LINK_KINDS = (
+    "emits",
+    "feeds",
+    "verdict",
+    "compaction-seam",
+    "rejoin",
+    "orphan-shadow",
+    "orphan-thread",
+)
 
 _LINK_COLS = (
     "conv_id",
@@ -129,6 +137,81 @@ def verdict_links(verdict_attachments: DataFrame) -> DataFrame:
             F.col("tool_turn_idx").alias("to_turn_idx"),
             F.lit("input").alias("to_io"),
         )
+    )
+
+
+def orphan_shadow_links(
+    enriched: DataFrame, verdict_attachments: DataFrame
+) -> DataFrame:
+    """Unattached shadow calls as QUERYABLE rows, not just a counter.
+
+    The reference parents an unanchored shadow to its live trace's root
+    span and bumps OrphanShadow (spans.go:425-441; the corpus pins
+    exactly 5, spans_corpus_test.go:84-87).  Here: a check turn whose
+    matcher found no tool anchor emits kind ``orphan-shadow`` from the
+    check llm span to the ROOT llm turn of the check's own trace — an
+    auditor can now list them from link_tape instead of only reading the
+    derive report's count."""
+    unattached = verdict_attachments.filter(
+        F.col("tool_turn_idx").isNull()
+    ).select("conv_id", "check_turn_idx")
+    check_traces = enriched.select(
+        "conv_id",
+        F.col("turn_idx").alias("check_turn_idx"),
+        "trace_num",
+    )
+    roots = enriched.groupBy("conv_id", "trace_num").agg(
+        F.min("turn_idx").alias("root_turn_idx")
+    )
+    return _with_link_id(
+        unattached.join(check_traces, ["conv_id", "check_turn_idx"])
+        .join(roots, ["conv_id", "trace_num"])
+        .select(
+            "conv_id",
+            F.lit("orphan-shadow").alias("kind"),
+            F.lit("llm").alias("from_kind"),
+            F.col("check_turn_idx").alias("from_turn_idx"),
+            F.lit("output").alias("from_io"),
+            F.lit("llm").alias("to_kind"),
+            F.col("root_turn_idx").alias("to_turn_idx"),
+            F.lit("input").alias("to_io"),
+        )
+    )
+
+
+def orphan_thread_links(
+    reconciled: DataFrame, agent_col: str = "agent_id"
+) -> DataFrame:
+    """Unanchored subagent threads as rows (the reference's
+    CodexThreadsUnanchored stays a counter in reconcile_report; this
+    materializes each as kind ``orphan-thread`` with a null target so
+    the thread is listable next to the rejoin links it failed to earn —
+    never attached to a wrong conversation, codex.go:115-117)."""
+    out = (
+        reconciled.filter(F.col("matched_by").isNull())
+        .select(
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit("orphan-thread").alias("kind"),
+            F.lit("agent").alias("from_kind"),
+            F.lit(None).cast("int").alias("from_turn_idx"),
+            F.lit("output").alias("from_io"),
+            F.lit(None).cast("string").alias("to_kind"),
+            F.lit(None).cast("int").alias("to_turn_idx"),
+            F.lit(None).cast("string").alias("to_io"),
+            F.col(agent_col).cast("string").alias("agent_id"),
+        )
+    )
+    # agent id is the identity (conv/turn fields are all null here)
+    return out.withColumn(
+        "link_id",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                *[F.col(c).cast("string") for c in _LINK_COLS],
+                F.col("agent_id"),
+            ),
+            256,
+        ),
     )
 
 
@@ -294,5 +377,7 @@ def link_tape(
         feeds_links(enriched, tool_tape)
     ).unionByName(compaction_seam_links(enriched))
     if verdict_attachments is not None:
-        links = links.unionByName(verdict_links(verdict_attachments))
+        links = links.unionByName(
+            verdict_links(verdict_attachments)
+        ).unionByName(orphan_shadow_links(enriched, verdict_attachments))
     return links

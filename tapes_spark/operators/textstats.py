@@ -35,10 +35,15 @@ ALL_STOPWORDS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens; empty text -> empty array (split('') gives [''])."""
-    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(text), r"\s+")
-    )
+    """Whitespace tokens, empty tokens removed.
+
+    Filtering empties (rather than trimming first) is the robust form:
+    Spark ``trim`` strips 0x20 ONLY, so text leading/trailing with \\n or
+    \\t would keep an empty-string token that Python's ``str.split()``
+    (the MinHash/SimHash signature tokenizer) never produces — the gate
+    corpora happen to contain none, but the contract shouldn't depend on
+    corpus luck.  Also covers empty text (split('') gives [''])."""
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -63,18 +63,36 @@ def start_streaming_derive(
 
     # foreachBatch is at-least-once: a crash between input_tape.append and
     # the streaming checkpoint commit replays the micro-batch.  The raw
-    # append must therefore be idempotent per batch_id — every append is
-    # stamped with run_id "stream-batch-{id}" and skipped on replay (the
-    # derive pass still runs; it is itself idempotent via the dirty-conv
-    # model, covering a crash between append and derive).
+    # append must therefore be idempotent per DELIVERY — every append is
+    # stamped with a run_id of (batch_id, content fingerprint) and skipped
+    # when that exact delivery was already recorded (the derive pass still
+    # runs; it is itself idempotent via the dirty-conv model, covering a
+    # crash between append and derive).  Keying on batch_id ALONE would be
+    # lossy after checkpoint deletion/recreation: batch numbering restarts
+    # and files re-bucket, so NEW rows arriving under an already-seen
+    # batch_id would be silently dropped.  With the fingerprint in the
+    # key, a re-bucketed batch whose content differs is appended (raw is
+    # at-least-once under checkpoint loss — overlap duplicates are handled
+    # by the first-capture dedup, J1 — and never lossy), while a true
+    # replay (same id, same rows) is skipped exactly as before.
     seen_runs: set[str] = {
         m.get("lineage", {}).get("run_id") for m in input_tape.snapshots()
     }
 
+    def _fingerprint(batch_df: DataFrame) -> str:
+        # order-insensitive content hash: XOR of per-row xxhash64 over all
+        # columns + row count (bit_xor never overflows under ANSI mode,
+        # unlike sum).  One tiny agg job per micro-batch.
+        cols = [F.col(c).cast("string") for c in batch_df.columns]
+        row = batch_df.agg(
+            F.bit_xor(F.xxhash64(*cols)).alias("x"), F.count("*").alias("n")
+        ).collect()[0]
+        return f"{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}n{row['n']}"
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        run_id = f"stream-batch-{batch_id}"
+        run_id = f"stream-batch-{batch_id}-{_fingerprint(batch_df)}"
         if run_id not in seen_runs:
             input_tape.append(batch_df, lineage={"run_id": run_id})
             seen_runs.add(run_id)

@@ -35,12 +35,23 @@ from tapes_spark.tapelog.writer import SinkWriter
 
 
 class IncrementalDeriver:
+    """*page_size* bounds driver memory: the dirty-conv queue is drained
+    in keyset pages of at most this many conv_ids — the driver never holds
+    the whole dirty set as a Python list (at 10^6 dirty conversations an
+    unbounded ``collect()`` is a driver OOM; the reference's derive_queue
+    drain is likewise batched, deriveworker.go poll loop)."""
+
     def __init__(
-        self, spark: SparkSession, input_tape: TapeTable, writer: SinkWriter
+        self,
+        spark: SparkSession,
+        input_tape: TapeTable,
+        writer: SinkWriter,
+        page_size: int = 10_000,
     ):
         self.spark = spark
         self.input_tape = input_tape
         self.writer = writer
+        self.page_size = page_size
         self._ckpt_path = os.path.join(writer.base_dir, "_checkpoint.json")
 
     # ------------------------------------------------------- checkpoint
@@ -60,37 +71,80 @@ class IncrementalDeriver:
 
     # ------------------------------------------------------------ steps
 
-    def dirty_conversations(self) -> list[str]:
-        """conv_ids with raw activity since the checkpoint (the derive
-        queue, ST1)."""
+    def dirty_conversations_df(self):
+        """Distinct conv_ids with raw activity since the checkpoint (the
+        derive queue, ST1) — as a DataFrame, never a driver list."""
         delta = self.input_tape.read_incremental(self.checkpoint())
         if delta is None:
+            return None
+        return delta.select("conv_id").distinct()
+
+    def dirty_conversations(self, limit: int | None = None) -> list[str]:
+        """First *limit* (default: one page) dirty conv_ids — a bounded
+        peek for callers/tests; the drain itself pages via ``process``."""
+        df = self.dirty_conversations_df()
+        if df is None:
             return []
-        return [r["conv_id"] for r in delta.select("conv_id").distinct().collect()]
+        n = limit if limit is not None else self.page_size
+        return [r["conv_id"] for r in df.orderBy("conv_id").limit(n).collect()]
 
     def process(self, run_id: str) -> dict:
         """One derive pass: re-derive dirty conversations, overwrite their
         partitions in every sink, advance the checkpoint.  Safe to call
-        repeatedly; a pass with no new input is a no-op."""
+        repeatedly; a pass with no new input is a no-op.
+
+        The dirty queue drains in keyset pages of ``page_size`` conv_ids
+        (ordered by conv_id, resuming after the previous page's last key)
+        so driver memory stays O(page).  The checkpoint advances only
+        after EVERY page committed (ST4): a crash mid-drain re-runs the
+        whole pass, and re-deriving an already-written page overwrites it
+        with byte-identical rows (ST6/D2) — at-least-once, idempotent.
+        """
         target_snapshot = self.input_tape.current_snapshot_id()
         ckpt = self.checkpoint()
         if target_snapshot is None or (ckpt or 0) >= target_snapshot:
             return {"dirty": 0, "skipped": True}
-        dirty = self.dirty_conversations()
-        if not dirty:
+        dirty_df = self.dirty_conversations_df()
+        total_dirty = 0
+        pages = 0
+        written: dict = {}
+        if dirty_df is not None:
+            full_input = self.input_tape.read()
+            last_key: str | None = None
+            while True:
+                page_df = dirty_df
+                if last_key is not None:
+                    page_df = page_df.filter(F.col("conv_id") > last_key)
+                page = [
+                    r["conv_id"]
+                    for r in page_df.orderBy("conv_id")
+                    .limit(self.page_size)
+                    .collect()
+                ]
+                if not page:
+                    break
+                scoped = full_input.filter(F.col("conv_id").isin(page))
+                result = run_pipeline(self.spark, scoped)
+                # the fingerprint must identify the PAGE, not just the
+                # input snapshot: the writer's resume check compares the
+                # latest sink manifest's fingerprint, and a shared value
+                # would mark pages 1..n "already committed" after page 0
+                written = self.writer.write_all(
+                    result.sinks, f"{run_id}-p{pages}",
+                    f"in:{target_snapshot}:p{pages}",
+                    conv_ids=page,
+                )
+                total_dirty += len(page)
+                pages += 1
+                last_key = page[-1]
+        if total_dirty == 0:
             self._save_checkpoint(target_snapshot)
             return {"dirty": 0, "skipped": True}
-        full_input = self.input_tape.read()
-        scoped = full_input.filter(F.col("conv_id").isin(dirty))
-        result = run_pipeline(self.spark, scoped)
-        fingerprint = f"in:{target_snapshot}"
-        written = self.writer.write_all(
-            result.sinks, run_id, fingerprint, conv_ids=dirty
-        )
-        # checkpoint advances ONLY after every sink committed (ST4)
+        # checkpoint advances ONLY after every page's sinks committed (ST4)
         self._save_checkpoint(target_snapshot)
         return {
-            "dirty": len(dirty),
+            "dirty": total_dirty,
+            "pages": pages,
             "skipped": False,
             "input_snapshot": target_snapshot,
             "snapshots": written,

@@ -36,7 +36,9 @@ class TestOverlay:
             [("conv-000000", 0, "conv-000001", 1)], CORR_DDL
         )
         out = apply_corrections(transcripts, corr)
-        assert out.columns == transcripts.columns
+        # original schema preserved, plus the src_conv_id tie-break the
+        # partition-sensitive folds use on (conv_id, turn_idx) collisions
+        assert out.columns == transcripts.columns + ["src_conv_id"]
         assert out.count() == transcripts.count()
         # the corrected turn now sits beside conv-000001's own turn 0
         twin = transcripts.filter(
@@ -74,6 +76,32 @@ class TestOverlay:
 
     def test_no_corrections_is_identity(self, spark, transcripts):
         empty = spark.createDataFrame([], CORR_DDL)
-        out = apply_corrections(transcripts, empty)
+        out = apply_corrections(transcripts, empty).drop("src_conv_id")
         assert out.exceptAll(transcripts).count() == 0
         assert transcripts.exceptAll(out).count() == 0
+
+    def test_collision_fold_is_deterministic(self, spark, transcripts):
+        """A correction that lands a turn on an occupied (conv_id,
+        turn_idx) must still produce run-stable chain hashes and
+        first-capture flags: the folds tie-break on src_conv_id (the
+        pre-overlay attribution), giving a total order where (conv_id,
+        turn_idx) alone is ambiguous."""
+        corr = spark.createDataFrame(
+            [("conv-000000", t, "conv-000001", 1) for t in range(5)],
+            CORR_DDL,
+        )
+
+        def chain_sig():
+            res = run_pipeline(spark, transcripts, corrections=corr,
+                               persist=False)
+            rows = res.sinks["chain_tape"].filter(
+                F.col("conv_id") == "conv-000001"
+            ).collect()
+            return sorted(
+                (r["conv_id"], r["turn_idx"], r["node_hash"]) for r in rows
+            )
+
+        first = chain_sig()
+        assert first  # the merged conversation exists
+        for _ in range(2):  # re-run: shuffle layouts differ, hashes must not
+            assert chain_sig() == first

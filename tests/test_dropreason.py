@@ -14,9 +14,14 @@ from pyspark.sql.types import (
 )
 
 from tapes_spark.operators.dropreason import (
+    ALL_DROP_REASONS,
     DROP_REASONS,
+    TRANSPORT_DROP_REASONS,
     drop_reason_cases,
+    transport_drop_cases,
+    transport_drop_histogram,
     with_drop_reason,
+    with_full_drop_reason,
 )
 
 _CASE_SCHEMA = StructType(
@@ -57,6 +62,78 @@ def test_vocabulary_is_closed_and_ordered():
         "unknown_role",
         "empty_turn",
     )
+
+
+def _transport_df(spark):
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (c, conv, idx, role, text, tool,
+         None if off is None else t0 + timedelta(seconds=off), exp)
+        for (c, conv, idx, role, text, tool, off, exp)
+        in transport_drop_cases()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "case string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, expected string",
+    )
+
+
+def test_transport_case_corpus_pinned(spark):
+    df = _transport_df(spark)
+    got = {
+        r["case"]: r["drop_reason"]
+        for r in with_full_drop_reason(df).collect()
+    }
+    want = {c[0]: c[-1] for c in transport_drop_cases()}
+    assert got == want
+
+
+def test_transport_vocabulary_is_closed_and_ordered():
+    assert TRANSPORT_DROP_REASONS == (
+        "missing_ts",
+        "duplicate_capture",
+        "ts_regression",
+    )
+    # cross-tier order: derive tier first, then transport
+    assert ALL_DROP_REASONS == DROP_REASONS + TRANSPORT_DROP_REASONS
+
+
+def test_every_transport_reason_has_a_case():
+    covered = {c[-1] for c in transport_drop_cases() if c[-1] is not None}
+    assert covered >= set(TRANSPORT_DROP_REASONS)
+
+
+def test_transport_histogram(spark):
+    hist = transport_drop_histogram(_transport_df(spark))
+    assert hist == {
+        "duplicate_capture": 1,
+        "ts_regression": 1,
+        "missing_ts": 1,
+        "missing_attribution": 1,
+        "empty_turn": 1,
+    }
+
+
+def test_full_ladder_is_deterministic_on_ties(spark):
+    """Two retransmits with IDENTICAL ts: exactly one stays clean and
+    which one is run-stable (xxhash64 tiebreak), so re-derives agree."""
+    from datetime import datetime, timezone
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [("d", 0, "user", "hi", "", t0), ("d", 0, "user", "hi", "", t0)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    for _ in range(3):
+        got = [
+            r["drop_reason"] for r in with_full_drop_reason(df).collect()
+        ]
+        assert got.count("duplicate_capture") == 1
+        assert got.count(None) == 1
 
 
 def test_pipeline_reports_reason_histogram(spark, transcripts):

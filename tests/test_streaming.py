@@ -126,6 +126,59 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_checkpoint_loss_with_new_files_loses_nothing(spark, tmp_path):
+    """After checkpoint deletion batch numbering RESTARTS, so new files can
+    arrive under an already-seen batch_id.  The replay skip keys on
+    (batch_id, content fingerprint), so a re-bucketed batch whose content
+    differs is appended — keying on batch_id alone silently dropped the
+    new rows (raw is at-least-once under checkpoint loss, never lossy;
+    overlap duplicates are J1 first-capture's job)."""
+    import pyarrow as pa
+    import shutil
+
+    from tapes_spark.tapelog import TapeTable
+
+    input_dir = str(tmp_path / "arrivals4")
+    sink_dir = str(tmp_path / "stream_sinks4")
+    n_rows = _write_chunks(input_dir, n_chunks=1)
+
+    def run_once():
+        q = start_streaming_derive(spark, input_dir, sink_dir,
+                                   trigger_seconds=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    raw = TapeTable(spark, f"{sink_dir}/_raw_input")
+    assert raw.read().count() == n_rows
+
+    # checkpoint gone + a NEW conversation lands: the restarted stream
+    # re-buckets everything into fresh batch ids starting at 0
+    shutil.rmtree(f"{sink_dir}/_stream_checkpoint")
+    new_rows = [
+        ("late-" + r[0],) + tuple(r[1:]) for r in generate_transcripts(2, 6, 99)
+    ]
+    cols = list(zip(*new_rows))
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, ARROW_SCHEMA)],
+            schema=ARROW_SCHEMA,
+        ),
+        os.path.join(input_dir, "late-chunk.parquet"),
+    )
+    run_once()
+    # every new row is in raw; old rows appear at least once (duplicates
+    # from re-bucketed overlap are allowed and deduped downstream)
+    got = raw.read()
+    assert got.count() >= n_rows + len(new_rows)
+    new_convs = {r[0] for r in new_rows}
+    got_new = got.filter(F.col("conv_id").isin(list(new_convs))).count()
+    assert got_new == len(new_rows)
+
+
+@pytest.mark.slow
 def test_streaming_conv_stats_runs(spark, tmp_path):
     input_dir = str(tmp_path / "arrivals2")
     _write_chunks(input_dir, n_chunks=2)

@@ -193,6 +193,30 @@ class TestIncrementalDerive:
         ).collect()[0]
         assert agg["turn_count"] == 17  # 16 original + 1 late
 
+    def test_paged_drain_matches_single_pass(self, spark, transcripts,
+                                             tmp_path, setup):
+        """Draining the dirty queue in keyset pages (page_size=3 over 8
+        convs -> 3 pages) must produce sinks identical to the one-shot
+        drain — and the driver never holds more than a page of conv_ids."""
+        input_tape, writer = setup
+        d = IncrementalDeriver(spark, input_tape, writer, page_size=3)
+        r = d.process("run-1")
+        assert r["dirty"] == 8
+        assert r["pages"] == 3
+        assert d.process("run-2")["skipped"]
+
+        input_tape2 = TapeTable(spark, str(tmp_path / "input2"))
+        input_tape2.append(transcripts)
+        writer2 = SinkWriter(spark, str(tmp_path / "sinks2"))
+        IncrementalDeriver(spark, input_tape2, writer2).process("run-1")
+        assert _same(
+            writer.read("conversation_tape"),
+            writer2.read("conversation_tape"),
+        )
+        assert _same(
+            writer.read("conv_aggregates"), writer2.read("conv_aggregates")
+        )
+
     def test_rederive_is_idempotent(self, spark, setup):
         input_tape, writer = setup
         d = IncrementalDeriver(spark, input_tape, writer)
