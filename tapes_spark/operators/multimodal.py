@@ -2,12 +2,14 @@
 
 Images / audio / video ride as opaque ``binary`` columns next to a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages.  The Spark-side plumbing (schema,
-batch shape, partition sizing, deterministic fake codec for tests) is
-real; the actual media decoding is STUBBED behind ``_decode_image`` —
-this container ships no image/audio libraries, so the stub either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-(test mode).  Swap the stub for PIL/torchaudio on a real cluster.
+Arrow-batched ``mapInPandas`` stages.  Decoding is REAL for the
+uncompressed formats expressible without codec libraries — pure-numpy
+24-bit BMP and binary PPM header+pixel parses, and 16-bit PCM WAV chunk
+walks (``_decode_media``) — end-to-end: decode -> block-mean resize
+(``_pool_to_grid``) -> pooled feature vector.  Compressed formats
+(PNG/JPEG/MP3/MP4) raise ``NotImplementedError`` in strict mode (swap in
+PIL/torchaudio on a real cluster) or fall back to a deterministic
+content-hash fake in test mode.
 
 Scale notes: binary payloads dominate row size, so the batch size for
 mapInPandas stages must be bounded by BYTES not rows —
@@ -56,33 +58,184 @@ _FEATURE_SCHEMA = StructType(
         StructField("payload_sha256", StringType()),
         StructField("payload_bytes", LongType()),
         StructField("feature", ArrayType(FloatType())),
+        StructField("error", StringType()),  # null = decoded cleanly
     ]
 )
 
 
-def _decode_image(payload: bytes, fake: bool):
-    """STUB: real deployments decode with PIL/libvips here."""
+GRID = 8  # every decoded plane pools to a GRID x GRID luminance grid
+
+
+def _pool_to_grid(plane: np.ndarray, g: int = GRID) -> np.ndarray:
+    """Block-mean resize of an arbitrary (H, W) plane to (g, g) — the
+    'resize' stage.  Interval mapping per axis handles BOTH directions:
+    downsampling block-means, upsampling nearest-gathers (a plane smaller
+    than the grid must not leave empty cells)."""
+    h, w = plane.shape
+    if h == 0 or w == 0:
+        return np.zeros((g, g))
+
+    def _axis_reduce(mat: np.ndarray, n: int) -> np.ndarray:
+        # rows of *mat* -> g rows: output i averages rows [lo, hi)
+        out = np.empty((g,) + mat.shape[1:])
+        for i in range(g):
+            lo = (i * n) // g
+            hi = max(lo + 1, ((i + 1) * n) // g)
+            out[i] = mat[lo:hi].mean(axis=0)
+        return out
+
+    return _axis_reduce(_axis_reduce(plane, h).T, w).T
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> luminance plane in [0, 1].
+
+    Pure-numpy header parse: pixel offset at byte 10, width/height at
+    18/22 (height > 0 = bottom-up rows), bpp at 28, compression at 30;
+    rows padded to 4-byte strides."""
+    if len(payload) < 54:
+        raise ValueError("bmp: truncated header")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"bmp: only 24-bit BI_RGB supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    data = np.frombuffer(payload, np.uint8, count=stride * h, offset=pix_off)
+    rows = data.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if height > 0:
+        rows = rows[::-1]  # bottom-up storage -> top-down plane
+    bgr = rows.astype(np.float64) / 255.0
+    # BT.601 luminance; BMP stores B,G,R
+    return 0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> luminance plane in [0, 1]."""
+    # header: ASCII tokens (magic, width, height, maxval), '#' comments,
+    # one whitespace byte after maxval, then raw RGB
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos]
+
+    magic = token()
+    if magic != b"P6":
+        raise NotImplementedError(f"ppm: unsupported magic {magic!r}")
+    width, height, maxval = int(token()), int(token()), int(token())
+    if maxval > 255:
+        raise NotImplementedError("ppm: 16-bit samples unsupported")
+    pos += 1  # single whitespace after maxval
+    rgb = (
+        np.frombuffer(payload, np.uint8, count=width * height * 3, offset=pos)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+        / maxval
+    )
+    return 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """16-bit PCM WAV -> frame-sampled plane in [0, 1].
+
+    RIFF chunk walk (fmt + data), channel-mean to mono, then the sample
+    stream framed into a near-square matrix — the 'frame-sample' stage —
+    so the same pooled-feature path serves audio and images."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not RIFF/WAVE")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"wav: only 16-bit PCM supported (fmt={audio_fmt}, "
+                    f"bits={bits})"
+                )
+            fmt = channels
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks pad to even byte boundaries
+    if fmt is None or samples is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    mono = samples.reshape(-1, fmt).mean(axis=1) / 32768.0
+    n = len(mono)
+    flen = max(1, int(np.ceil(np.sqrt(n))))
+    padded = np.zeros(((n + flen - 1) // flen) * flen)
+    padded[:n] = (mono + 1.0) / 2.0
+    return padded.reshape(-1, flen)
+
+
+def _decode_media(payload: bytes, fake: bool) -> np.ndarray:
+    """Decode one payload to a pooled (GRID, GRID) luminance plane.
+
+    REAL pure-numpy decoders cover the uncompressed formats this
+    container can express without codec libraries: 24-bit BMP, binary
+    PPM, 16-bit PCM WAV.  Compressed formats (PNG/JPEG/MP3/MP4) still
+    raise NotImplementedError in strict mode — swap in PIL/torchaudio on
+    a real cluster — or fall back to the deterministic fake in test
+    mode."""
+    if payload[:2] == b"BM":
+        return _pool_to_grid(_decode_bmp(payload))
+    if payload[:2] == b"P6":
+        return _pool_to_grid(_decode_ppm(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _pool_to_grid(_decode_wav(payload))
     if not fake:
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass fake_decode=True or install a codec backend"
+            "no decoder for this format in this environment (real paths: "
+            "BMP/PPM/WAV); pass fake_decode=True or install a codec backend"
         )
     # deterministic fake: a pseudo-pixel array seeded by content hash
     digest = hashlib.sha256(payload).digest()
     seed = int.from_bytes(digest[:8], "big") % (2**32)
     rng = np.random.RandomState(seed)
-    return rng.rand(8, 8)  # tiny fake luminance plane
+    return rng.rand(GRID, GRID)
 
 
 def extract_features(
-    media: DataFrame, fake_decode: bool = False
+    media: DataFrame, fake_decode: bool = False, on_error: str = "raise"
 ) -> DataFrame:
     """decode -> pooled feature vector, Arrow-batched via mapInPandas.
 
     The returned feature is deterministic per payload (content-hash
     seeded), so downstream dedup/similarity over media features is
     idempotent like everything else (D2).
+
+    ``on_error='record'`` turns a per-payload decode failure into a row
+    with feature NULL and the error string — the recorded-failure stream
+    the poisoned-embed skip (``plan_embeds``) consumes, mirroring the
+    reference's deterministic embed-failure records
+    (spanembed.go:171-192).
     """
+    if on_error not in ("raise", "record"):
+        raise ValueError("on_error must be 'raise' or 'record'")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # decode is the one per-item boundary (a real codec decodes one
@@ -92,15 +245,24 @@ def extract_features(
             payloads = [
                 bytes(p) if p is not None else b"" for p in pdf["payload"]
             ]
+            planes = np.zeros((len(payloads), GRID, GRID))
+            errors: list[str | None] = [None] * len(payloads)
+            for i, p in enumerate(payloads):
+                try:
+                    planes[i] = _decode_media(p, fake_decode)
+                except Exception as e:  # deterministic per content
+                    if on_error == "raise":
+                        raise
+                    errors[i] = f"{type(e).__name__}: {e}"
             if payloads:
-                planes = np.stack(
-                    [_decode_image(p, fake_decode) for p in payloads]
-                )
                 # pooled features: per-plane row/col means, batched
                 feats = np.concatenate(
                     [planes.mean(axis=1), planes.mean(axis=2)], axis=1
                 ).astype(np.float32)[:, :FEATURE_DIM]
-                feat_lists = list(feats)
+                feat_lists = [
+                    None if errors[i] is not None else feats[i]
+                    for i in range(len(payloads))
+                ]
             else:
                 feat_lists = []
             yield pd.DataFrame(
@@ -112,12 +274,92 @@ def extract_features(
                     ],
                     "payload_bytes": [len(p) for p in payloads],
                     "feature": feat_lists,
+                    "error": errors,
                 }
             )
 
     return media.select(
         "media_id", "kind", "payload"
     ).mapInPandas(compute, _FEATURE_SCHEMA)
+
+
+FEATURE_MODEL = "pooled-luma-v1"  # the 'embedding model' of this pipeline
+
+
+def plan_embeds(
+    media: DataFrame,
+    existing: DataFrame | None = None,
+    failures: DataFrame | None = None,
+    model: str = FEATURE_MODEL,
+) -> DataFrame:
+    """The reference's spanembed decide() as a broadcast-join plan
+    (spanembed.go:160-192): per candidate an ``action`` column —
+
+      empty      no payload: nothing to embed
+      up_to_date (content hash, model) already embedded — skip
+      poisoned   (content hash, model) FAILED deterministically before;
+                 re-attempting would fail again and burn the work — skip
+                 until content or model changes
+      embed      needs embedding
+
+    *existing* / *failures*: (payload_sha256, model) tables — tiny dims
+    (broadcast), so the scan stays map-only.  The hash covers only the
+    content; the model is compared separately so switching models
+    re-embeds (and re-tries past failures) — exactly the reference's
+    change-detector contract.
+    """
+    h = F.sha2(F.col("payload"), 256)
+    df = media.withColumn("payload_sha256", h)
+
+    def _mark(side: DataFrame | None, flag: str) -> None:
+        nonlocal df
+        if side is None:
+            df = df.withColumn(flag, F.lit(False))
+            return
+        marked = F.broadcast(
+            side.filter(F.col("model") == model)
+            .select(F.col("payload_sha256").alias(f"_{flag}_h"))
+            .distinct()
+        )
+        df = df.join(
+            marked, df["payload_sha256"] == marked[f"_{flag}_h"], "left"
+        ).withColumn(flag, F.col(f"_{flag}_h").isNotNull()).drop(f"_{flag}_h")
+
+    _mark(existing, "_up_to_date")
+    _mark(failures, "_poisoned")
+    action = (
+        F.when(
+            F.col("payload").isNull() | (F.length("payload") == 0), "empty"
+        )
+        .when(F.col("_up_to_date"), "up_to_date")
+        .when(F.col("_poisoned"), "poisoned")
+        .otherwise("embed")
+    )
+    return df.withColumn("action", action).drop("_up_to_date", "_poisoned")
+
+
+def extract_features_incremental(
+    media: DataFrame,
+    existing: DataFrame | None = None,
+    failures: DataFrame | None = None,
+    model: str = FEATURE_MODEL,
+    fake_decode: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One resumable embed pass: plan -> decode only the 'embed' rows ->
+    split (features, new_failures, plan).  Feed new_failures back in as
+    *failures* on the next run and poisoned payloads are skipped without
+    touching the decoder (D5 completeness: the anti-join the reference's
+    ExistingFailHash check performs per candidate)."""
+    plan = plan_embeds(media, existing, failures, model)
+    todo = plan.filter(F.col("action") == "embed").drop(
+        "action", "payload_sha256"
+    )
+    out = extract_features(todo, fake_decode, on_error="record")
+    feats = out.filter(F.col("error").isNull())
+    new_failures = out.filter(F.col("error").isNotNull()).select(
+        "payload_sha256", F.lit(model).alias("model"), "error"
+    )
+    return feats, new_failures, plan
 
 
 def media_repartition(
@@ -142,6 +384,88 @@ def media_dedup(media: DataFrame) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.first("kind").alias("kind"),
     )
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit BI_RGB BMP bytes (deterministic;
+    test/fixture encoder for the real decode path)."""
+    h, w, _ = rgb.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pix
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary P6 PPM bytes."""
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> 16-bit PCM WAV bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def make_real_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table with REAL encoded payloads
+    (BMP / PPM / WAV round-robin) — drives the strict decode path end to
+    end with no external data or codec libraries."""
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 1_000_003 + i)
+        kind_idx = i % 3
+        if kind_idx == 0:
+            h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+            rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, kind, mime = encode_bmp(rgb), "image", "image/bmp"
+            dur = None
+        elif kind_idx == 1:
+            h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+            rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, kind, mime = encode_ppm(rgb), "image", "image/x-portable-pixmap"
+            dur = None
+        else:
+            n_samp = int(rng.randint(64, 2048))
+            samp = rng.randint(-32768, 32767, size=n_samp).astype(np.int16)
+            payload, kind, mime = encode_wav(samp), "audio", "audio/wav"
+            h = w = None
+            dur = n_samp * 1000 // 8000
+        rows.append(
+            (i, kind, bytearray(payload), mime,
+             w if kind == "image" else None,
+             h if kind == "image" else None,
+             dur)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 32, seed: int = 42) -> DataFrame:

@@ -40,6 +40,134 @@ def test_strict_mode_raises(spark, media):
     )
 
 
+class TestRealCodecs:
+    """The real pure-numpy decode paths (BMP/PPM/WAV) — end to end
+    through the strict-mode pipeline, no codec libraries, no fake."""
+
+    def test_bmp_roundtrip_luminance(self):
+        import numpy as np
+
+        # left half black, right half white -> pooled grid splits 0 / 1
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        rgb[:, 8:, :] = 255
+        plane = mm._decode_media(mm.encode_bmp(rgb), fake=False)
+        assert plane.shape == (mm.GRID, mm.GRID)
+        assert np.allclose(plane[:, :4], 0.0)
+        assert np.allclose(plane[:, 4:], 1.0)
+
+    def test_bmp_row_order_and_stride(self):
+        import numpy as np
+
+        # non-multiple-of-4 width exercises stride padding; a single red
+        # TOP-left pixel must stay top-left through bottom-up storage
+        rgb = np.zeros((5, 5, 3), dtype=np.uint8)
+        rgb[0, 0, 0] = 255  # red
+        plane = mm._pool_to_grid(mm._decode_bmp(mm.encode_bmp(rgb)), 5)
+        assert plane[0, 0] > 0.2
+        assert np.allclose(plane[4, 4], 0.0)
+
+    def test_ppm_roundtrip(self):
+        import numpy as np
+
+        rgb = np.full((6, 9, 3), 128, dtype=np.uint8)
+        plane = mm._decode_media(mm.encode_ppm(rgb), fake=False)
+        assert plane.shape == (mm.GRID, mm.GRID)
+        assert np.allclose(plane, 128 / 255, atol=1e-9)
+
+    def test_ppm_comment_header(self):
+        import numpy as np
+
+        payload = b"P6\n# a comment\n2 2\n255\n" + bytes(12)
+        plane = mm._decode_ppm(payload)
+        assert plane.shape == (2, 2)
+        assert np.allclose(plane, 0.0)
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        samp = np.zeros(256, dtype=np.int16)  # silence -> plane of 0.5
+        plane = mm._decode_media(mm.encode_wav(samp), fake=False)
+        assert plane.shape == (mm.GRID, mm.GRID)
+        assert np.allclose(plane, 0.5, atol=1e-4)
+
+    def test_strict_pipeline_end_to_end(self, spark):
+        media = mm.make_real_media(spark, n=12, seed=42)
+        feats = mm.extract_features(media, fake_decode=False).orderBy(
+            "media_id"
+        ).collect()
+        assert len(feats) == 12
+        for r in feats:
+            assert len(r["feature"]) == mm.FEATURE_DIM
+            assert all(f is not None for f in r["feature"])
+        again = mm.extract_features(media, fake_decode=False).orderBy(
+            "media_id"
+        ).collect()
+        assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+
+    def test_compressed_formats_still_raise(self):
+        import pytest as _pytest
+
+        png_magic = b"\x89PNG\r\n\x1a\n" + bytes(64)
+        with _pytest.raises(NotImplementedError):
+            mm._decode_media(png_magic, fake=False)
+
+
+class TestPoisonedEmbeds:
+    """D5 completeness: recorded deterministic embed failures are skipped
+    on re-runs (spanembed.go:160-192 decide(): ExistingFailHash ->
+    actionPoisoned)."""
+
+    def _with_bad(self, spark):
+        good = mm.make_real_media(spark, n=6, seed=42)
+        bad = spark.createDataFrame(
+            [
+                (100, "image", bytearray(b"\x89PNG\r\n\x1a\n" + bytes(64)),
+                 "image/png", 8, 8, None),
+                (101, "image", bytearray(b"\x00garbage"), "application/x-bin",
+                 None, None, None),
+            ],
+            mm.MEDIA_SCHEMA,
+        )
+        return good.unionByName(bad)
+
+    def test_failures_recorded_then_skipped(self, spark):
+        media = self._with_bad(spark)
+        feats, fails, plan = mm.extract_features_incremental(media)
+        assert feats.count() == 6
+        assert fails.count() == 2
+        assert plan.filter(F.col("action") == "embed").count() == 8
+
+        existing = feats.select(
+            "payload_sha256", F.lit(mm.FEATURE_MODEL).alias("model")
+        )
+        feats2, fails2, plan2 = mm.extract_features_incremental(
+            media, existing=existing, failures=fails
+        )
+        actions = {
+            r["action"]: r["count"]
+            for r in plan2.groupBy("action").count().collect()
+        }
+        assert actions == {"up_to_date": 6, "poisoned": 2}
+        # nothing reaches the decoder on the second run
+        assert feats2.count() == 0 and fails2.count() == 0
+
+    def test_model_switch_retries_poisoned(self, spark):
+        media = self._with_bad(spark)
+        _, fails, _ = mm.extract_features_incremental(media)
+        # a new model invalidates the failure record: re-attempt
+        plan = mm.plan_embeds(media, failures=fails, model="pooled-luma-v2")
+        assert plan.filter(F.col("action") == "poisoned").count() == 0
+        assert plan.filter(F.col("action") == "embed").count() == 8
+
+    def test_empty_payload_is_empty_action(self, spark):
+        media = spark.createDataFrame(
+            [(0, "image", bytearray(b""), "image/bmp", None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        plan = mm.plan_embeds(media)
+        assert [r["action"] for r in plan.collect()] == ["empty"]
+
+
 def test_media_dedup(spark, media):
     d = mm.media_dedup(media)
     total = d.agg(F.sum("n_copies")).collect()[0][0]
