@@ -311,6 +311,25 @@ def generate_transcripts(
     return rows
 
 
+def generate_giant_conv(
+    n_turns: int = 100_000, seed: int = 42, conv_id: str = "conv-giant"
+) -> list[tuple]:
+    """One pathological conversation (the reference's
+    giant_memory_test.go analog): a SINGLE trace — one opening prompt,
+    then an unbroken tool loop — so every per-conversation and per-trace
+    fold sees one partition-pinned group of ~n_turns rows.  This is the
+    worst case for the sequential folds (chain hash, verdict matcher) and
+    for export's per-trace collect_list; the skew gate pins that the
+    pipeline completes with correct per-sink counts on it."""
+    rng = random.Random(seed * 1_000_003 + 999_983)
+    c = _Conv(conv_id, rng, EPOCH + timedelta(days=30))
+    c.user("Massive autonomous refactor session — single prompt.")
+    while len(c.rows) < n_turns - 1:
+        _tool_exchange(c, rng, error=rng.random() < 0.05)
+    c.assistant(_assistant_text(rng))
+    return c.rows
+
+
 def generate_session_meta(n_convs: int = 8, seed: int = 42) -> list[tuple]:
     """Deterministic envelope side-channel rows (conv_id, parent_conv_id,
     display_name): every odd conv forks from its predecessor; conv 2 (if

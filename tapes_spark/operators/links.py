@@ -96,17 +96,23 @@ def feeds_links(enriched: DataFrame, tool_tape: DataFrame) -> DataFrame:
         F.col("result_turn_idx").alias("idx"),
         F.col("turn_idx").alias("call_turn_idx"),
     )
-    # result sorts BEFORE an llm turn at the same idx is impossible in the
-    # flattened shape (a result turn is role=tool); strict ordering by idx
-    # with llm-marker nulls-last tie-break is deterministic regardless
+    # a result and an llm turn can never share an idx in the flattened
+    # shape (a result turn is role=tool), so "first llm strictly after
+    # this result" = "min llm idx among rows later in the timeline".
+    # Expressed as a REVERSE running aggregate: ordered by idx DESC with
+    # an unbounded-preceding-to-(-1) frame, which Spark computes
+    # incrementally in O(n) per partition.  The previous form — first()
+    # over rowsBetween(1, unboundedFollowing) — re-scans the frame per
+    # row, O(n^2) per conversation: measured 252 s for ONE 10^5-turn
+    # conversation (the giant-conv skew gate caught it) vs ~1 s now.
     timeline = llm_marks.unionByName(result_marks)
     w = (
         Window.partitionBy("conv_id")
-        .orderBy(F.col("idx").asc(), F.col("call_turn_idx").asc_nulls_last())
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("idx").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    next_llm = F.first(
-        F.when(F.col("call_turn_idx").isNull(), F.col("idx")), ignorenulls=True
+    next_llm = F.min(
+        F.when(F.col("call_turn_idx").isNull(), F.col("idx"))
     ).over(w)
     return _with_link_id(
         timeline.withColumn("next_llm_idx", next_llm)

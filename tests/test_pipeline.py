@@ -217,3 +217,67 @@ class TestIdempotence:
         )
         # trace ids unique
         assert tape.select("trace_id").distinct().count() == tape.count()
+
+
+class TestGiantConversationSkew:
+    """The reference's giant_memory_test analog: a SINGLE-trace 10^5-turn
+    conversation (one prompt, unbroken tool loop) — the worst case for the
+    partition-pinned sequential folds and export's per-trace collect_list.
+    The pipeline must complete with exact per-sink counts; measured walls
+    live in BASELINE.md (skew section)."""
+
+    N_TURNS = 100_000
+
+    @pytest.fixture(scope="class")
+    def giant(self, spark):
+        from tapes_spark.fixtures import generate_giant_conv
+
+        rows = generate_giant_conv(self.N_TURNS, seed=42)
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        return rows, df
+
+    @pytest.mark.slow
+    def test_completes_with_exact_counts(self, spark, transcripts, giant):
+        rows, gdf = giant
+        tool_calls = sum(1 for r in rows if r[2] == "assistant" and r[4])
+        tx = transcripts.unionByName(gdf)
+        res = run_pipeline(spark, tx)
+        counts = {k: v.count() for k, v in res.sinks.items()}
+        # the giant conv adds exactly its own rows to each sink
+        assert counts["chain_tape"] == PINNED_SINKS["chain_tape"] + len(rows)
+        assert counts["tool_tape"] == PINNED_SINKS["tool_tape"] + tool_calls
+        agg_row = res.sinks["conv_aggregates"].filter(
+            F.col("conv_id") == "conv-giant"
+        ).collect()[0]
+        assert agg_row["turn_count"] == len(rows)
+        # single trace: the whole conversation is one partition-pinned group
+        giant_traces = res.sinks["conversation_tape"].filter(
+            F.col("conv_id") == "conv-giant"
+        ).count()
+        assert giant_traces == 1
+
+    @pytest.mark.slow
+    def test_export_collapses_giant_trace(self, spark, giant):
+        """Export's per-trace collect_list sees ONE 10^5-row group — the
+        shape salting would address.  Measured: the single-task fold
+        completes in seconds (numbers in BASELINE.md), so the two-level
+        composition stands without salting at this group size."""
+        import json
+
+        from tapes_spark.sources.export import export_conversations
+
+        _, gdf = giant
+        res = run_pipeline(spark, gdf, persist=False)
+        out = export_conversations(
+            res.enriched,
+            res.sinks["conversation_tape"],
+            res.sinks["conv_aggregates"],
+        ).collect()
+        assert len(out) == 1
+        doc = json.loads(out[0]["line"])
+        total = sum(len(t["turns"] or []) for t in doc["traces"])
+        assert total == self.N_TURNS
