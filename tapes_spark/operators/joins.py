@@ -215,6 +215,7 @@ _VERDICT_ATTACH_SCHEMA = StructType(
         StructField("check_turn_idx", IntegerType()),
         StructField("tool_turn_idx", IntegerType()),
         StructField("disposition", StringType()),
+        StructField("check_stage", IntegerType()),
     ]
 )
 
@@ -273,6 +274,7 @@ def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                     "action": last_transcript or "",
                     "thread": r.get("thread_id") or "",
                     "disposition": r.get("verdict_disposition"),
+                    "stage": r.get("check_stage"),
                 }
             )
 
@@ -282,7 +284,9 @@ def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     order: list[dict] = []
     for c in checks:
         if not c["action"]:
-            out.append((c["conv"], c["turn_idx"], None, c["disposition"]))
+            out.append(
+                (c["conv"], c["turn_idx"], None, c["disposition"], c["stage"])
+            )
             continue
         g = None
         for cand in groups.setdefault(c["action"], []):
@@ -319,16 +323,22 @@ def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             i = find(action, g["thread"], False)
         if i is None:
             for c in g["members"]:
-                out.append((c["conv"], c["turn_idx"], None, c["disposition"]))
+                out.append(
+                    (c["conv"], c["turn_idx"], None, c["disposition"],
+                     c["stage"])
+                )
             continue
         cand = tool_calls.pop(i)  # consume exactly once, shared by stages
         for c in g["members"]:
             out.append(
-                (c["conv"], c["turn_idx"], cand["turn_idx"], c["disposition"])
+                (c["conv"], c["turn_idx"], cand["turn_idx"],
+                 c["disposition"], c["stage"])
             )
     out.sort(key=lambda t: t[1])
     return pd.DataFrame(
-        out, columns=["conv_id", "check_turn_idx", "tool_turn_idx", "disposition"]
+        out,
+        columns=["conv_id", "check_turn_idx", "tool_turn_idx",
+                 "disposition", "check_stage"],
     )
 
 

@@ -160,6 +160,21 @@ class TestThreadScopedVerdicts:
         )
         assert all(v <= 2 for v in shared.values())
 
+    def test_shared_anchor_is_a_stage_pair(self, attachments):
+        # when two checks DO share a judged tool, they must be the
+        # stage-1 + stage-2 escalation pair, never two stage-1 checks
+        # (verdictFanIn assertion, spans_corpus_test.go:88-89)
+        from collections import defaultdict
+
+        by_tool = defaultdict(list)
+        for a in attachments.values():
+            if a["tool_turn_idx"] is not None:
+                by_tool[a["tool_turn_idx"]].append(a["check_stage"])
+        assert any(len(v) == 2 for v in by_tool.values())  # pair exercised
+        for stages in by_tool.values():
+            if len(stages) == 2:
+                assert sorted(stages) == [1, 2]
+
 
 class TestResumeBoundary:
     def test_system_inserts_after_last_fresh_assistant(self, spark):
