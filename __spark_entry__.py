@@ -840,6 +840,111 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# transport drop-reason ladder over a deterministically wire-damaged stream
+# --------------------------------------------------------------------------
+
+def q_transport_drop_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL 8-reason drop ladder (tapes_spark.operators.dropreason:
+    5 derive-tier + 3 transport-tier reasons) exercised end-to-end.
+
+    The events stream is first mapped to the transcript shape (user_id ->
+    conv_id, per-user capture order -> turn_idx) and then deterministically
+    WIRE-DAMAGED — retransmits (event_id % 97), out-of-order captures with
+    regressed timestamps (% 101), captures with no timestamp (% 103), and
+    attribution loss (% 107) — so every ladder rung fires on real volume.
+    The oracle recomputes the identical damage + ladder in SQL.
+    """
+    from tapes_spark.operators.dropreason import with_full_drop_reason
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("tool"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    dup = base.filter(F.col("event_id") % 97 == 0)
+    reg = (
+        base.filter(F.col("event_id") % 101 == 0)
+        .withColumn("turn_idx", (F.col("turn_idx") + 1_000_000).cast("int"))
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    miss = (
+        base.filter(F.col("event_id") % 103 == 0)
+        .withColumn("turn_idx", (F.col("turn_idx") + 2_000_000).cast("int"))
+        .withColumn("ts", F.lit(None).cast("timestamp"))
+    )
+    noattr = base.filter(F.col("event_id") % 107 == 0).withColumn(
+        "conv_id", F.lit(None).cast("string")
+    )
+    damaged = (
+        base.unionByName(dup)
+        .unionByName(reg)
+        .unionByName(miss)
+        .unionByName(noattr)
+        .drop("event_id")
+    )
+    return (
+        with_full_drop_reason(damaged)
+        .groupBy(F.coalesce(F.col("drop_reason"), F.lit("ok")).alias("drop_reason"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_TRANSPORT_DROP_SQL = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+              AS INT) AS turn_idx,
+         'user' AS role, props AS text, event_type AS tool, ts, event_id
+  FROM events
+), damaged AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM base
+  UNION ALL
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM base
+  WHERE event_id % 97 = 0
+  UNION ALL
+  SELECT conv_id, CAST(turn_idx + 1000000 AS INT), role, text, tool,
+         ts - INTERVAL 1 HOUR FROM base WHERE event_id % 101 = 0
+  UNION ALL
+  SELECT conv_id, CAST(turn_idx + 2000000 AS INT), role, text, tool,
+         NULL FROM base WHERE event_id % 103 = 0
+  UNION ALL
+  SELECT NULL, turn_idx, role, text, tool, ts FROM base
+  WHERE event_id % 107 = 0
+), winds AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY conv_id, turn_idx, role, text, tool
+                       ORDER BY ts NULLS LAST) AS rn,
+    max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        AS prev_max_ts
+  FROM damaged
+), laddered AS (
+  SELECT CASE
+    WHEN conv_id IS NULL OR conv_id = '' THEN 'missing_attribution'
+    WHEN turn_idx IS NULL OR turn_idx < 0 THEN 'missing_order'
+    WHEN role IS NULL OR role = '' THEN 'missing_role'
+    WHEN role NOT IN ('user','assistant','tool','system') THEN 'unknown_role'
+    WHEN coalesce(text, '') = '' AND coalesce(tool, '') = ''
+        THEN 'empty_turn'
+    WHEN ts IS NULL THEN 'missing_ts'
+    WHEN rn > 1 THEN 'duplicate_capture'
+    WHEN ts < prev_max_ts THEN 'ts_regression'
+    ELSE 'ok'
+  END AS drop_reason
+  FROM winds
+)
+SELECT drop_reason, CAST(count(*) AS BIGINT) AS n
+FROM laddered GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
@@ -866,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attach": q_asof_attach,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "transport_drop_hist": q_transport_drop_hist,
     }
 
 
@@ -893,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "chunked_span_topk": _CHUNKED_SQL,
         "quality_by_source": _quality_sql(),
         "asof_attach": _ASOF_SQL,
+        "transport_drop_hist": _TRANSPORT_DROP_SQL,
         # minhash output == exact Jaccard at this threshold (see
         # q_minhash_lsh_pairs docstring for the recall argument)
         "minhash_lsh_pairs": _JACCARD_SQL,
