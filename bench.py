@@ -69,10 +69,17 @@ spark = get_spark("tapes-bench-{cores}", parallelism={cores},
                                "spark.sql.files.openCostInBytes": "0"}})
 tx = spark.read.parquet({path!r})
 turns = tx.count()
-# warmup pass (JIT + page cache), then min of two measured steady-state
-# runs — this sandbox's effective CPU throughput fluctuates (shared host),
-# so a single sample is unreliable; min is the least-noise estimator
-warm = run_pipeline(spark, tx, stage_dir=stage + "_warm")
+# warmup pass on a 1/8 conv subset: JIT/codegen warmth costs a fraction of
+# a full run; the page cache fills during measured run 1 (and is already
+# resident for every leg after the first, since all legs read the same
+# file) — min-of-N only ever discards the slower samples, so a semi-warm
+# first run cannot bias the shipped number.  This sandbox's effective CPU
+# throughput fluctuates (shared host), so a single sample is unreliable;
+# min is the least-noise estimator.
+warm = run_pipeline(
+    spark, tx.filter("pmod(xxhash64(conv_id), 8) = 0"),
+    stage_dir=stage + "_warm",
+)
 materialize_sinks(warm)
 shutil.rmtree(stage + "_warm", ignore_errors=True)
 walls = []

@@ -71,41 +71,6 @@ def _planes(dim: int, n_tables: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_tables, bits, dim))
 
 
-def with_lsh_buckets(
-    embeddings: DataFrame,
-    dim: int,
-    n_tables: int = 8,
-    bits: int = 8,
-    seed: int = 42,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Add (table_idx, bucket) rows: one per hash table, bucket = the
-    sign-bit code of `bits` random hyperplanes.  Pure column expressions —
-    the planes are literals baked into the plan (tiny: tables*bits*dim)."""
-    planes = _planes(dim, n_tables, bits, seed)
-    tables = []
-    for t in range(n_tables):
-        code = F.lit(0).cast("long")
-        for b in range(bits):
-            plane = planes[t, b]
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(p)) for p in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            code = code + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        tables.append(
-            F.struct(F.lit(t).alias("table_idx"), code.alias("bucket"))
-        )
-    return embeddings.select(
-        "*", F.explode(F.array(*tables)).alias("_t")
-    ).select("*", "_t.table_idx", "_t.bucket").drop("_t")
-
-
 def cosine_dup_pairs_brute(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -273,23 +238,36 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """ANN top-k: probe the query's bucket in each table, exact re-rank of
     the union of candidates.  Recall is tested against brute force in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    Table-side codes come from the same numpy matmul path as the pair
+    join (:func:`lsh_bucket_arrays`) — ONE bucketing implementation, and
+    no per-row interpreted hyperplane dots on the scan.  The probe codes
+    use the identical sign formula, so probe and table agree bit-for-bit.
+    """
     dim = len(query_vec)
     planes = _planes(dim, n_tables, bits, seed)
-    qv = np.array(query_vec)
-    probe = [
-        (t, int(sum((1 << b) for b in range(bits) if planes[t, b] @ qv > 0)))
-        for t in range(n_tables)
-    ]
-    bucketed = with_lsh_buckets(
-        embeddings, dim, n_tables, bits, seed, vec_col
+    proj = planes.reshape(n_tables * bits, dim).T
+    signs = (np.asarray(query_vec, dtype=np.float64) @ proj > 0).reshape(
+        n_tables, bits
     )
-    probe_df = bucketed.sparkSession.createDataFrame(
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    probe = [
+        (t, int((signs[t] * weights).sum())) for t in range(n_tables)
+    ]
+    bucketed = lsh_bucket_arrays(
+        embeddings, dim, n_tables, bits, seed, vec_col, id_col
+    )
+    exploded = bucketed.select(
+        id_col, F.posexplode("buckets").alias("table_idx", "bucket")
+    )
+    probe_df = embeddings.sparkSession.createDataFrame(
         probe, "table_idx int, bucket long"
     )
-    candidates = (
-        bucketed.join(F.broadcast(probe_df), ["table_idx", "bucket"])
-        .select(id_col, vec_col)
-        .dropDuplicates([id_col])
+    candidate_ids = (
+        exploded.join(F.broadcast(probe_df), ["table_idx", "bucket"])
+        .select(id_col)
+        .distinct()
     )
+    candidates = embeddings.join(candidate_ids, id_col, "left_semi")
     return brute_cosine_topk(candidates, query_vec, k, vec_col, id_col)

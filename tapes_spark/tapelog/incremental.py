@@ -123,7 +123,14 @@ class IncrementalDeriver:
                 ]
                 if not page:
                     break
-                scoped = full_input.filter(F.col("conv_id").isin(page))
+                # broadcast semi-join, not isin: a 10^4-literal IN list
+                # builds a 10^4-node expression tree per scan
+                page_df = self.spark.createDataFrame(
+                    [(c,) for c in page], "conv_id string"
+                )
+                scoped = full_input.join(
+                    F.broadcast(page_df), "conv_id", "left_semi"
+                )
                 result = run_pipeline(self.spark, scoped)
                 # the fingerprint must identify the PAGE, not just the
                 # input snapshot: the writer's resume check compares the
