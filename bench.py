@@ -225,7 +225,14 @@ def main() -> None:
     from tapes_spark.session import get_spark, stop_spark
 
     spark = get_spark(
-        "tapes-bench-queries", parallelism=CPUS, shuffle_partitions=CPUS
+        "tapes-bench-queries", parallelism=CPUS, shuffle_partitions=CPUS,
+        extra_conf={
+            # the sf0.1 tables are single parquet files: without a split
+            # bound the scan runs as 1-2 tasks and pins every narrow
+            # query's map stage below the core count
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "0",
+        },
     )
     for name, fn in entrymod.queries().items():
         if name in ("jaccard_pairs", "cosine_dup_pairs", "minhash_lsh_pairs"):
