@@ -242,11 +242,23 @@ class TestGiantConversationSkew:
 
     @pytest.mark.slow
     def test_completes_with_exact_counts(self, spark, transcripts, giant):
+        import time
+
         rows, gdf = giant
         tool_calls = sum(1 for r in rows if r[2] == "assistant" and r[4])
         tx = transcripts.unionByName(gdf)
+        t0 = time.time()
         res = run_pipeline(spark, tx)
         counts = {k: v.count() for k, v in res.sinks.items()}
+        # quadratic-regression guard: all sinks over corpus+giant measure
+        # ~40-70 s on this host; the O(n^2) following-frame window this
+        # gate originally caught measured 240+ s.  The bound is ~4x the
+        # healthy wall (the host's documented ±40% swing never reaches
+        # it) and ~half the pathological one.
+        assert time.time() - t0 < 160, (
+            "giant-conversation derive exceeded the skew budget — "
+            "likely a per-row-rescanned window frame (see PLANS.md)"
+        )
         # the giant conv adds exactly its own rows to each sink
         assert counts["chain_tape"] == PINNED_SINKS["chain_tape"] + len(rows)
         assert counts["tool_tape"] == PINNED_SINKS["tool_tape"] + tool_calls
