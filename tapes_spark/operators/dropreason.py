@@ -108,9 +108,17 @@ def with_full_drop_reason(df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     derive_reason = drop_reason_col()
+    # tie-break (same ts) on a hash of ALL columns — including the ones
+    # outside the dup key — so which retransmit stays "clean" is
+    # deterministic across shuffles (a hash of only the partition keys is
+    # constant within the partition and breaks no ties; fully identical
+    # rows are interchangeable, so their relative order cannot matter)
+    all_cols_hash = F.xxhash64(
+        *[F.col(c).cast("string") for c in df.columns]
+    )
     dup_w = Window.partitionBy(
         "conv_id", "turn_idx", "role", "text", "tool"
-    ).orderBy(F.col("ts").asc_nulls_last(), F.xxhash64("conv_id", "turn_idx"))
+    ).orderBy(F.col("ts").asc_nulls_last(), all_cols_hash)
     is_dup = F.row_number().over(dup_w) > 1
     # max ts over strictly-earlier turn_idx rows in the conversation —
     # RANGE frame, not ROWS: a ROWS frame would include same-turn_idx

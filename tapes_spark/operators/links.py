@@ -57,9 +57,24 @@ _LINK_COLS = (
 
 
 def _with_link_id(df: DataFrame) -> DataFrame:
+    """Uniform link schema + deterministic id.
+
+    Every link frame carries an ``agent_id`` column (NULL for in-conv
+    links) so all LINK_KINDS union into one tape.  The id hashes the
+    canonical tuple + agent_id; ``concat_ws`` skips NULLs, so in-conv
+    link ids are byte-identical to the pre-agent_id formula."""
+    if "agent_id" not in df.columns:
+        df = df.withColumn("agent_id", F.lit(None).cast("string"))
     return df.withColumn(
         "link_id",
-        F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in _LINK_COLS]), 256),
+        F.sha2(
+            F.concat_ws(
+                "|",
+                *[F.col(c).cast("string") for c in _LINK_COLS],
+                F.col("agent_id"),
+            ),
+            256,
+        ),
     )
 
 
@@ -193,7 +208,9 @@ def orphan_thread_links(
     materializes each as kind ``orphan-thread`` with a null target so
     the thread is listable next to the rejoin links it failed to earn —
     never attached to a wrong conversation, codex.go:115-117)."""
-    out = (
+    # agent id is the identity (conv/turn fields are all null here);
+    # the shared _with_link_id includes it in the hash
+    return _with_link_id(
         reconciled.filter(F.col("matched_by").isNull())
         .select(
             F.lit(None).cast("string").alias("conv_id"),
@@ -206,18 +223,6 @@ def orphan_thread_links(
             F.lit(None).cast("string").alias("to_io"),
             F.col(agent_col).cast("string").alias("agent_id"),
         )
-    )
-    # agent id is the identity (conv/turn fields are all null here)
-    return out.withColumn(
-        "link_id",
-        F.sha2(
-            F.concat_ws(
-                "|",
-                *[F.col(c).cast("string") for c in _LINK_COLS],
-                F.col("agent_id"),
-            ),
-            256,
-        ),
     )
 
 
@@ -292,29 +297,20 @@ def rejoin_links(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    out = best.select(
-        "conv_id",
-        F.lit("rejoin").alias("kind"),
-        F.lit("agent").alias("from_kind"),
-        F.lit(None).cast("int").alias("from_turn_idx"),
-        F.lit("output").alias("from_io"),
-        F.lit("tool").alias("to_kind"),
-        F.col("task_turn_idx").alias("to_turn_idx"),
-        F.lit("input").alias("to_io"),
-        F.col(agent_col).cast("string").alias("agent_id"),
-    )
     # the agent is part of the link identity (two subagents may rejoin
-    # the same Task span)
-    return out.withColumn(
-        "link_id",
-        F.sha2(
-            F.concat_ws(
-                "|",
-                *[F.col(c).cast("string") for c in _LINK_COLS],
-                F.col("agent_id"),
-            ),
-            256,
-        ),
+    # the same Task span); _with_link_id hashes it with the tuple
+    return _with_link_id(
+        best.select(
+            "conv_id",
+            F.lit("rejoin").alias("kind"),
+            F.lit("agent").alias("from_kind"),
+            F.lit(None).cast("int").alias("from_turn_idx"),
+            F.lit("output").alias("from_io"),
+            F.lit("tool").alias("to_kind"),
+            F.col("task_turn_idx").alias("to_turn_idx"),
+            F.lit("input").alias("to_io"),
+            F.col(agent_col).cast("string").alias("agent_id"),
+        )
     )
 
 
@@ -387,3 +383,22 @@ def link_tape(
             verdict_links(verdict_attachments)
         ).unionByName(orphan_shadow_links(enriched, verdict_attachments))
     return links
+
+
+def full_link_tape(
+    in_conv_links: DataFrame,
+    rejoins: DataFrame | None = None,
+    orphan_threads: DataFrame | None = None,
+) -> DataFrame:
+    """ALL declared LINK_KINDS as one tape: the in-conversation links
+    (:func:`link_tape`) plus the agent-side kinds.  Every frame shares
+    the uniform schema (_LINK_COLS + agent_id + link_id), so the closed
+    LINK_KINDS vocabulary is fully representable in one sink — an
+    'orphan-thread' row is listable next to the rejoin it failed to earn
+    (codex.go:115-117) instead of living in a schema of its own."""
+    out = in_conv_links
+    if rejoins is not None:
+        out = out.unionByName(rejoins)
+    if orphan_threads is not None:
+        out = out.unionByName(orphan_threads)
+    return out

@@ -302,11 +302,15 @@ def plan_embeds(
                  until content or model changes
       embed      needs embedding
 
-    *existing* / *failures*: (payload_sha256, model) tables — tiny dims
-    (broadcast), so the scan stays map-only.  The hash covers only the
-    content; the model is compared separately so switching models
-    re-embeds (and re-tries past failures) — exactly the reference's
-    change-detector contract.
+    *existing* / *failures*: (payload_sha256, model) tables.  Neither is
+    hint-broadcast: *existing* is one row per ever-embedded content hash
+    — O(corpus) after the first full pass, NOT a dim — and a forced
+    broadcast would OOM there at scale; *failures* is usually tiny but
+    the same equi-join shape lets AQE pick broadcast itself when a side
+    measures small at runtime.  The hash covers only the content; the
+    model is compared separately so switching models re-embeds (and
+    re-tries past failures) — exactly the reference's change-detector
+    contract.
     """
     h = F.sha2(F.col("payload"), 256)
     df = media.withColumn("payload_sha256", h)
@@ -316,7 +320,7 @@ def plan_embeds(
         if side is None:
             df = df.withColumn(flag, F.lit(False))
             return
-        marked = F.broadcast(
+        marked = (
             side.filter(F.col("model") == model)
             .select(F.col("payload_sha256").alias(f"_{flag}_h"))
             .distinct()

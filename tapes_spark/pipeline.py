@@ -64,6 +64,19 @@ class PipelineResult:
     sinks: dict[str, DataFrame] = field(default_factory=dict)
     metrics: dict[str, float] = field(default_factory=dict)
 
+    def unpersist(self) -> None:
+        """Release every frame this pass cached (enriched, tool_tape,
+        verdict_attachments).  Callers that run many passes in one session
+        — the incremental page drain — must release each page or cached
+        blocks accumulate for the whole drain."""
+        for df in (
+            self.enriched,
+            self.sinks.get("tool_tape"),
+            self.sinks.get("verdict_attachments"),
+        ):
+            if df is not None and df.storageLevel != StorageLevel.NONE:
+                df.unpersist()
+
 
 def build_enriched(
     spark: SparkSession, transcripts: DataFrame
@@ -234,7 +247,10 @@ def materialize_sinks(result: PipelineResult) -> dict[str, int]:
 
 
 def run_metrics(
-    spark: SparkSession, result: PipelineResult, run_id: str
+    spark: SparkSession,
+    result: PipelineResult,
+    run_id: str,
+    raw_transcripts: DataFrame | None = None,
 ) -> DataFrame:
     """A8/S10: the auditable metrics tape — one row per counter per run.
 
@@ -242,13 +258,50 @@ def run_metrics(
     (ingest/metrics.go:39-66; pkg/derive/worker/metrics.go:73-125), but
     written as a queryable tape (north_rule: "metrics emitted as an
     auditable tape").
+
+    Per-reason drop counters cover the FULL C8 ladder: the 5 derive-tier
+    reasons come from the pass's own quarantine stream (zero-filled so
+    the closed vocabulary always appears); the 3 transport-tier reasons
+    need the per-conversation windows over the RAW capture stream — pass
+    *raw_transcripts* to audit them (dropreason.go's per-reason counter
+    contract).  Without raw input the transport counters are OMITTED,
+    never fabricated as zero.
     """
+    from tapes_spark.operators.dropreason import (
+        DROP_REASONS,
+        TRANSPORT_DROP_REASONS,
+        with_full_drop_reason,
+    )
+
     counters: list[tuple[str, str, float]] = []
     enriched = result.enriched
     counters.append((run_id, "turns_in", float(enriched.count())))
     quarantined = result.metrics.get("quarantined_rows")
     if quarantined is not None and not isinstance(quarantined, (int, float)):
         counters.append((run_id, "turns_quarantined", float(quarantined.count())))
+        derive_hist = {
+            r["drop_reason"]: r["count"]
+            for r in quarantined.groupBy("drop_reason").count().collect()
+        }
+        for reason in DROP_REASONS:
+            counters.append(
+                (run_id, f"drop_reason_{reason}",
+                 float(derive_hist.get(reason, 0)))
+            )
+    if raw_transcripts is not None:
+        transport_hist = {
+            r["drop_reason"]: r["count"]
+            for r in with_full_drop_reason(raw_transcripts)
+            .filter(F.col("drop_reason").isin(*TRANSPORT_DROP_REASONS))
+            .groupBy("drop_reason")
+            .count()
+            .collect()
+        }
+        for reason in TRANSPORT_DROP_REASONS:
+            counters.append(
+                (run_id, f"drop_reason_{reason}",
+                 float(transport_hist.get(reason, 0)))
+            )
     kind_hist = {
         r["call_kind"]: r["count"]
         for r in enriched.groupBy("call_kind").count().collect()

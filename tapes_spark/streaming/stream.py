@@ -35,6 +35,28 @@ TRANSCRIPT_DDL = (
 )
 
 
+def batch_fingerprint(batch_df: DataFrame) -> str:
+    """Order-insensitive content hash over all columns: XOR of per-row
+    xxhash64 + a multiplicity-sensitive SUM of the same hashes
+    (decimal(38,0) — ANSI-safe, no overflow below ~10^19 rows) + row
+    count.  XOR alone cancels even multiplicities (two batches whose rows
+    all pair up XOR to 0 and would collide whenever counts match — after
+    checkpoint loss such a NEW batch reusing a seen batch_id would be
+    misread as a replay and silently dropped); the sum term breaks that
+    class.  One tiny agg job per micro-batch."""
+    cols = [F.col(c).cast("string") for c in batch_df.columns]
+    h = F.xxhash64(*cols)
+    row = batch_df.agg(
+        F.bit_xor(h).alias("x"),
+        F.sum(h.cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return (
+        f"{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+        f"s{int(row['s'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}n{row['n']}"
+    )
+
+
 def start_streaming_derive(
     spark: SparkSession,
     input_dir: str,
@@ -79,20 +101,10 @@ def start_streaming_derive(
         m.get("lineage", {}).get("run_id") for m in input_tape.snapshots()
     }
 
-    def _fingerprint(batch_df: DataFrame) -> str:
-        # order-insensitive content hash: XOR of per-row xxhash64 over all
-        # columns + row count (bit_xor never overflows under ANSI mode,
-        # unlike sum).  One tiny agg job per micro-batch.
-        cols = [F.col(c).cast("string") for c in batch_df.columns]
-        row = batch_df.agg(
-            F.bit_xor(F.xxhash64(*cols)).alias("x"), F.count("*").alias("n")
-        ).collect()[0]
-        return f"{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}n{row['n']}"
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        run_id = f"stream-batch-{batch_id}-{_fingerprint(batch_df)}"
+        run_id = f"stream-batch-{batch_id}-{batch_fingerprint(batch_df)}"
         if run_id not in seen_runs:
             input_tape.append(batch_df, lineage={"run_id": run_id})
             seen_runs.add(run_id)

@@ -107,7 +107,7 @@ class IncrementalDeriver:
         dirty_df = self.dirty_conversations_df()
         total_dirty = 0
         pages = 0
-        written: dict = {}
+        written: list[dict] = []
         if dirty_df is not None:
             full_input = self.input_tape.read()
             last_key: str | None = None
@@ -136,11 +136,16 @@ class IncrementalDeriver:
                 # input snapshot: the writer's resume check compares the
                 # latest sink manifest's fingerprint, and a shared value
                 # would mark pages 1..n "already committed" after page 0
-                written = self.writer.write_all(
-                    result.sinks, f"{run_id}-p{pages}",
-                    f"in:{target_snapshot}:p{pages}",
-                    conv_ids=page,
+                written.append(
+                    self.writer.write_all(
+                        result.sinks, f"{run_id}-p{pages}",
+                        f"in:{target_snapshot}:p{pages}",
+                        conv_ids=page,
+                    )
                 )
+                # release this page's cached frames — a long drain must
+                # not accumulate every page's MEMORY_AND_DISK blocks
+                result.unpersist()
                 total_dirty += len(page)
                 pages += 1
                 last_key = page[-1]

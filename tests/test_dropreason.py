@@ -136,6 +136,64 @@ def test_full_ladder_is_deterministic_on_ties(spark):
         assert got.count(None) == 1
 
 
+def test_tie_break_is_stable_across_shuffles(spark):
+    """Retransmits sharing a ts but DIFFERING in a non-key column: which
+    row stays clean must not depend on shuffle order.  The tie-break
+    hashes ALL columns (a hash of only the window's partition keys is
+    constant within the partition and breaks no ties)."""
+    from datetime import datetime, timezone
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("d", 0, "user", "hi", "", t0, f"src-{i}") for i in range(6)
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, source string",
+    )
+    winners = set()
+    for n_parts in (1, 3, 8):
+        out = with_full_drop_reason(base.repartition(n_parts)).collect()
+        clean = [r["source"] for r in out if r["drop_reason"] is None]
+        assert len(clean) == 1
+        winners.add(clean[0])
+    assert len(winners) == 1, f"tie winner varied with partitioning: {winners}"
+
+
+def test_metrics_tape_covers_full_ladder(spark):
+    """run_metrics with the raw stream emits per-reason counters for the
+    FULL 8-reason ladder: derive tier zero-filled from quarantine,
+    transport tier audited over the raw capture stream."""
+    from tapes_spark.pipeline import run_metrics, run_pipeline
+
+    raw = _transport_df(spark).drop("case", "expected")
+    res = run_pipeline(spark, raw, persist=False)
+    rows = {
+        r["metric"]: r["value"]
+        for r in run_metrics(spark, res, "run-t", raw_transcripts=raw).collect()
+    }
+    assert {f"drop_reason_{r}": rows[f"drop_reason_{r}"]
+            for r in ALL_DROP_REASONS} == {
+        "drop_reason_missing_attribution": 1.0,
+        "drop_reason_missing_order": 0.0,
+        "drop_reason_missing_role": 0.0,
+        "drop_reason_unknown_role": 0.0,
+        "drop_reason_empty_turn": 1.0,
+        "drop_reason_missing_ts": 1.0,
+        "drop_reason_duplicate_capture": 1.0,
+        "drop_reason_ts_regression": 1.0,
+    }
+    # without the raw stream, transport counters are omitted (unaudited
+    # is never reported as zero) while derive-tier counters remain
+    no_raw = {
+        r["metric"]
+        for r in run_metrics(spark, res, "run-t2").collect()
+    }
+    assert "drop_reason_missing_ts" not in no_raw
+    assert "drop_reason_empty_turn" in no_raw
+
+
 def test_pipeline_reports_reason_histogram(spark, transcripts):
     from tapes_spark.pipeline import derive_report, run_pipeline
 

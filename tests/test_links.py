@@ -154,6 +154,37 @@ class TestOrphans:
         assert r["link_id"]  # deterministic id present
 
 
+class TestFullLinkTape:
+    """Every declared LINK_KIND must be representable in ONE tape: the
+    frames share a uniform schema (canonical tuple + agent_id + link_id),
+    so orphan-thread rows union in next to the rejoins they failed to
+    earn instead of living in a schema of their own."""
+
+    def test_all_kinds_union_into_one_tape(self, spark, result):
+        from tapes_spark.operators.links import LINK_KINDS, full_link_tape
+
+        reconciled = spark.createDataFrame(
+            [
+                ("agent-2", None, None, None),  # unanchored
+            ],
+            "agent_id string, conv_id string, matched_by string, "
+            "overlap long",
+        )
+        orphans = orphan_thread_links(reconciled)
+        full = full_link_tape(result.sinks["link_tape"], None, orphans)
+        assert set(full.columns) == set(result.sinks["link_tape"].columns)
+        kinds = {r["kind"] for r in full.select("kind").distinct().collect()}
+        assert "orphan-thread" in kinds
+        assert kinds <= set(LINK_KINDS)
+        # ids stay unique across the union
+        assert full.select("link_id").distinct().count() == full.count()
+
+    def test_in_conv_links_carry_null_agent_id(self, result):
+        lt = result.sinks["link_tape"]
+        assert "agent_id" in lt.columns
+        assert lt.filter(F.col("agent_id").isNotNull()).count() == 0
+
+
 class TestRejoin:
     def test_rejoin_to_task_span(self, spark, transcripts):
         """A reconciled subagent links to the latest Task-category call at

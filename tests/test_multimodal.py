@@ -181,3 +181,22 @@ def test_byte_aware_repartition(spark, media):
     assert small.rdd.getNumPartitions() > 1
     big = mm.media_repartition(media, target_partition_bytes=1 << 30)
     assert big.rdd.getNumPartitions() == 1
+
+
+def test_plan_embeds_does_not_force_broadcast(spark, media):
+    """The already-embedded set is O(corpus), not a dim: a forced
+    broadcast of `existing` OOMs at scale.  The plan must carry no
+    user broadcast hint on either mark side (AQE may still CHOOSE
+    broadcast at runtime when a side measures small — that is fine)."""
+    existing = spark.createDataFrame(
+        [("00" * 32, mm.FEATURE_MODEL)], "payload_sha256 string, model string"
+    )
+    fails = spark.createDataFrame(
+        [("11" * 32, mm.FEATURE_MODEL)], "payload_sha256 string, model string"
+    )
+    plan = mm.plan_embeds(media, existing=existing, failures=fails)
+    analyzed = plan._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+    # the ladder still works without the hint
+    actions = {r["action"] for r in plan.select("action").distinct().collect()}
+    assert "embed" in actions

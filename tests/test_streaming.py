@@ -198,3 +198,19 @@ def test_streaming_conv_stats_runs(spark, tmp_path):
         assert n_state > 0
     finally:
         q.stop()
+
+
+def test_batch_fingerprint_is_multiplicity_sensitive(spark):
+    """XOR alone cancels even multiplicities: two batches whose rows all
+    pair up XOR to 0 and collide whenever counts match — after checkpoint
+    loss a NEW batch under a seen batch_id would be misread as a replay
+    and silently dropped.  The sum term must separate them."""
+    from tapes_spark.streaming.stream import batch_fingerprint
+
+    schema = "conv_id string, turn_idx int"
+    a = spark.createDataFrame([("a", 0), ("a", 0)], schema)
+    b = spark.createDataFrame([("b", 7), ("b", 7)], schema)
+    fa, fb = batch_fingerprint(a), batch_fingerprint(b)
+    assert fa != fb
+    # identical content (any row order) still fingerprints identically
+    assert batch_fingerprint(spark.createDataFrame([("a", 0), ("a", 0)], schema)) == fa
