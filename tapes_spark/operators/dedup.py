@@ -196,8 +196,13 @@ def _fnv_hashes(tokens) -> np.ndarray:
     return out % np.uint64(_MERSENNE)
 
 
-def _batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct-token hashes for a whole Arrow batch.
+def _batch_token_hashes(tok_lists) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct-token hashes for a whole Arrow batch of PRE-TOKENIZED
+    docs (*tok_lists*: one distinct-token array per doc, produced
+    JVM-side by ``array_distinct(tokens_col(...))`` — codegen split +
+    dedup, no per-doc Python ``set(str.split())`` in the hot path, and
+    the signature tokenizer is definitionally the same one the
+    verify/oracle paths use).
 
     Returns (hashes, offsets): ``hashes[offsets[i]:offsets[i+1]]`` are the
     hashes of doc i's distinct tokens.  Each batch-distinct token is FNV'd
@@ -205,16 +210,16 @@ def _batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     of their vocabulary, so this is a large constant-factor win on top of
     the vectorized FNV.
     """
-    tok_lists = [list(set(str(t).split())) for t in texts]
     n = len(tok_lists)
+    lens = np.fromiter((len(t) for t in tok_lists), count=n, dtype=np.int64)
     offsets = np.zeros(n + 1, dtype=np.int64)
-    all_toks: list[str] = []
-    for i, ts in enumerate(tok_lists):
-        all_toks.extend(ts)
-        offsets[i + 1] = len(all_toks)
-    if not all_toks:
+    np.cumsum(lens, out=offsets[1:])
+    if offsets[-1] == 0:
         return np.empty(0, dtype=np.uint64), offsets
-    uniq, inv = np.unique(np.array(all_toks, dtype=object), return_inverse=True)
+    all_toks = np.concatenate(
+        [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+    )
+    uniq, inv = np.unique(all_toks, return_inverse=True)
     return _fnv_hashes(uniq)[inv], offsets
 
 
@@ -223,11 +228,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id -> array<bigint> MinHash signature.
 
-    Fully batch-vectorized inside mapInPandas: one FNV pass over the
-    batch vocabulary, then per permutation a single (a*h+b) mod p vector
-    op over every token in the batch with a segmented min
-    (np.minimum.reduceat) per doc.  No per-doc or per-token Python in the
-    hot path (the round-1 per-token FNV loop was the 100 TB bottleneck).
+    Tokenization runs JVM-side (``array_distinct(tokens_col(...))``,
+    whole-stage codegen) and only flat token arrays cross the Arrow
+    boundary; inside mapInPandas everything is batch-vectorized numpy —
+    one FNV pass over the batch vocabulary, then per permutation a
+    single (a*h+b) mod p vector op over every token in the batch with a
+    segmented min (np.minimum.reduceat) per doc.  No per-doc or
+    per-token Python in the hot path (the round-1 per-token FNV loop —
+    and the round-3 per-doc ``set(str.split())`` — were the serial
+    residue at scale).
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -247,7 +256,7 @@ def minhash_signatures(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            hashes, offsets = _batch_token_hashes(pdf[text_col])
+            hashes, offsets = _batch_token_hashes(pdf["toks"])
             sig_mat = np.zeros((n, num_perm), dtype=np.int64)
             nonempty = offsets[:-1] < offsets[1:]
             starts = offsets[:-1][nonempty]
@@ -266,7 +275,8 @@ def minhash_signatures(
                 {"doc_id": pdf["doc_id"].values, "signature": list(sig_mat)}
             )
 
-    return _spread(docs.select("doc_id", text_col)).mapInPandas(
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    return _spread(docs.select("doc_id", toks.alias("toks"))).mapInPandas(
         compute, out_schema
     )
 
@@ -387,7 +397,8 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", seed: int = 42
 ) -> DataFrame:
-    """64-bit SimHash per doc (vectorized numpy in mapInPandas)."""
+    """64-bit SimHash per doc (JVM-side tokenization, vectorized numpy
+    majority vote in mapInPandas)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
@@ -400,7 +411,7 @@ def simhash_signatures(
         # per-doc or per-token Python loops
         for pdf in batches:
             n = len(pdf)
-            hashes, offsets = _batch_token_hashes(pdf[text_col])
+            hashes, offsets = _batch_token_hashes(pdf["toks"])
             acc = np.zeros(n, dtype=np.uint64)
             seg_lens = offsets[1:] - offsets[:-1]
             nonempty = seg_lens > 0
@@ -424,7 +435,8 @@ def simhash_signatures(
                 }
             )
 
-    return _spread(docs.select("doc_id", text_col)).mapInPandas(
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    return _spread(docs.select("doc_id", toks.alias("toks"))).mapInPandas(
         compute, out_schema
     )
 
