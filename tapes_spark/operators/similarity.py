@@ -158,34 +158,27 @@ def lsh_bucket_arrays(
     )
 
 
-def cosine_dup_pairs_lsh(
+def pairs_from_buckets(
+    bucketed: DataFrame,
     embeddings: DataFrame,
-    dim: int,
     threshold: float = 0.9,
     n_tables: int = 12,
-    bits: int = 8,
-    seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Scale path: candidate pairs share an LSH bucket in ANY table
-    (bucket equi-join, never all-pairs), then exact cosine re-check.
+    """Near-dup pairs from a PRE-BUCKETED (id, buckets) frame — the query
+    half shared by the recompute path (:func:`cosine_dup_pairs_lsh`) and
+    the persisted index tape (operators/ann_index.py), so bucket codes
+    have exactly one consumer-side implementation.
 
-    Recall vs the brute baseline is pytest-gated; at 0.9 cosine the
-    12-table x 8-bit configuration collides with probability
-    1-(1-(1-theta/pi)^8)^12 ~ 0.97.
-
-    The candidate join carries ONLY (id, buckets) — 12 longs — never the
-    embedding vectors: a pair is emitted from the FIRST table where it
-    collides (no earlier j < table_idx has buckets1[j] == buckets2[j]),
-    the same in-join dedup the MinHash band join uses, so no
-    (tables x pairs)-wide dropDuplicates shuffle and no full float arrays
-    riding the fat stage.  Vectors are re-joined once, for the deduped
-    pair set only, for the exact cosine recheck.
+    The candidate join carries ONLY (id, buckets) — n_tables longs —
+    never the embedding vectors: a pair is emitted from the FIRST table
+    where it collides (no earlier j < table_idx has
+    buckets1[j] == buckets2[j]), the same in-join dedup the MinHash band
+    join uses, so no (tables x pairs)-wide dropDuplicates shuffle and no
+    full float arrays riding the fat stage.  Vectors are re-joined once,
+    for the deduped pair set only, for the exact cosine recheck.
     """
-    bucketed = lsh_bucket_arrays(
-        embeddings, dim, n_tables, bits, seed, vec_col, id_col
-    )
     exploded = bucketed.select(
         id_col,
         "buckets",
@@ -226,6 +219,82 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def cosine_dup_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_tables: int = 12,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: candidate pairs share an LSH bucket in ANY table
+    (bucket equi-join, never all-pairs), then exact cosine re-check.
+
+    Recall vs the brute baseline is pytest-gated; at 0.9 cosine the
+    12-table x 8-bit configuration collides with probability
+    1-(1-(1-theta/pi)^8)^12 ~ 0.97.
+
+    Recomputes bucket codes from the raw vectors — right for one-shot
+    queries; repeated queries over a slowly-changing corpus should read
+    the persisted index tape instead (operators/ann_index.LshIndexTape),
+    which shares :func:`pairs_from_buckets` for the query half.
+    """
+    bucketed = lsh_bucket_arrays(
+        embeddings, dim, n_tables, bits, seed, vec_col, id_col
+    )
+    return pairs_from_buckets(
+        bucketed, embeddings, threshold, n_tables, vec_col, id_col
+    )
+
+
+def probe_codes(
+    query_vec: list[float], n_tables: int, bits: int, seed: int = 42
+) -> list[tuple[int, int]]:
+    """(table_idx, bucket) probe codes for one query vector — the same
+    sign formula as :func:`lsh_bucket_arrays`, so probe and table agree
+    bit-for-bit."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_tables, bits, seed)
+    proj = planes.reshape(n_tables * bits, dim).T
+    signs = (np.asarray(query_vec, dtype=np.float64) @ proj > 0).reshape(
+        n_tables, bits
+    )
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    return [(t, int((signs[t] * weights).sum())) for t in range(n_tables)]
+
+
+def topk_from_buckets(
+    bucketed: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 8,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k from a PRE-BUCKETED (id, buckets) frame: probe the
+    query's bucket in each table, exact re-rank of the candidate union.
+    Shared by the recompute path and the persisted index tape."""
+    exploded = bucketed.select(
+        id_col, F.posexplode("buckets").alias("table_idx", "bucket")
+    )
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probe_codes(query_vec, n_tables, bits, seed),
+        "table_idx int, bucket long",
+    )
+    candidate_ids = (
+        exploded.join(F.broadcast(probe_df), ["table_idx", "bucket"])
+        .select(id_col)
+        .distinct()
+    )
+    candidates = embeddings.join(candidate_ids, id_col, "left_semi")
+    return brute_cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -244,30 +313,16 @@ def lsh_cosine_topk(
     join (:func:`lsh_bucket_arrays`) — ONE bucketing implementation, and
     no per-row interpreted hyperplane dots on the scan.  The probe codes
     use the identical sign formula, so probe and table agree bit-for-bit.
+
+    Recomputes table codes per call — for repeated queries use the
+    persisted index tape (operators/ann_index.LshIndexTape), which reads
+    stored codes and shares :func:`topk_from_buckets`.
     """
     dim = len(query_vec)
-    planes = _planes(dim, n_tables, bits, seed)
-    proj = planes.reshape(n_tables * bits, dim).T
-    signs = (np.asarray(query_vec, dtype=np.float64) @ proj > 0).reshape(
-        n_tables, bits
-    )
-    weights = 1 << np.arange(bits, dtype=np.int64)
-    probe = [
-        (t, int((signs[t] * weights).sum())) for t in range(n_tables)
-    ]
     bucketed = lsh_bucket_arrays(
         embeddings, dim, n_tables, bits, seed, vec_col, id_col
     )
-    exploded = bucketed.select(
-        id_col, F.posexplode("buckets").alias("table_idx", "bucket")
+    return topk_from_buckets(
+        bucketed, embeddings, query_vec, k, n_tables, bits, seed,
+        vec_col, id_col,
     )
-    probe_df = embeddings.sparkSession.createDataFrame(
-        probe, "table_idx int, bucket long"
-    )
-    candidate_ids = (
-        exploded.join(F.broadcast(probe_df), ["table_idx", "bucket"])
-        .select(id_col)
-        .distinct()
-    )
-    candidates = embeddings.join(candidate_ids, id_col, "left_semi")
-    return brute_cosine_topk(candidates, query_vec, k, vec_col, id_col)
