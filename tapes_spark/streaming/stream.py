@@ -106,7 +106,12 @@ def start_streaming_derive(
             return
         run_id = f"stream-batch-{batch_id}-{batch_fingerprint(batch_df)}"
         if run_id not in seen_runs:
-            input_tape.append(batch_df, lineage={"run_id": run_id})
+            # conv_id bucket stats ride the manifest so the deriver's
+            # per-page drain scans prune raw file groups
+            input_tape.append(
+                batch_df, lineage={"run_id": run_id},
+                partition_col="conv_id",
+            )
             seen_runs.add(run_id)
         deriver.process(run_id)
 

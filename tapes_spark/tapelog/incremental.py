@@ -109,7 +109,6 @@ class IncrementalDeriver:
         pages = 0
         written: list[dict] = []
         if dirty_df is not None:
-            full_input = self.input_tape.read()
             last_key: str | None = None
             while True:
                 page_df = dirty_df
@@ -123,12 +122,19 @@ class IncrementalDeriver:
                 ]
                 if not page:
                     break
+                # bucket-stat file pruning: scan only the raw data groups
+                # whose conv_id hash buckets intersect this page's keys —
+                # with P pages a full-input scan per page re-reads the
+                # whole raw tape P times; the pruned scan reads each
+                # group approximately once across the drain (the file
+                # skipping an Iceberg conv_id-bucketed layout gives)
+                page_input = self.input_tape.read_pruned("conv_id", page)
                 # broadcast semi-join, not isin: a 10^4-literal IN list
                 # builds a 10^4-node expression tree per scan
                 page_df = self.spark.createDataFrame(
                     [(c,) for c in page], "conv_id string"
                 )
-                scoped = full_input.join(
+                scoped = page_input.join(
                     F.broadcast(page_df), "conv_id", "left_semi"
                 )
                 result = run_pipeline(self.spark, scoped)

@@ -144,11 +144,40 @@ class TapeTable:
         os.replace(tmp_cur, self._current_path())  # atomic flip
         return snapshot_id
 
-    def append(self, df: DataFrame, lineage: dict | None = None) -> int:
-        _, new_files = self._write_data_group(df)
+    def _group_buckets(self, group_dir: str, partition_col: str) -> list[int]:
+        """Distinct key-hash buckets present in one data group — bounded
+        at _N_BUCKETS rows on the driver regardless of key cardinality."""
+        rows = (
+            self.spark.read.parquet(os.path.join(self.root, group_dir))
+            .select(
+                (F.crc32(F.col(partition_col).cast("string")) % _N_BUCKETS)
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r[0]) for r in rows)
+
+    def append(
+        self,
+        df: DataFrame,
+        lineage: dict | None = None,
+        partition_col: str | None = None,
+    ) -> int:
+        """Append a new data group.  With *partition_col*, the group's
+        manifest entry records its key-hash bucket set so later scans for
+        a key subset (:meth:`read_pruned`) skip non-intersecting groups —
+        the file-skipping a conv_id-bucketed Iceberg layout gives a
+        storage-partitioned scan."""
+        group, new_files = self._write_data_group(df)
         parent = self.current_snapshot_id()
         prev_files = self.manifest(parent)["files"] if parent else []
         prev_pb = self.manifest(parent).get("partition_buckets", {}) if parent else {}
+        if partition_col is not None and new_files:
+            prev_pb = dict(prev_pb)
+            prev_pb[os.path.join("data", group)] = self._group_buckets(
+                os.path.join("data", group), partition_col
+            )
         return self._commit(prev_files + new_files, "append", lineage, prev_pb)
 
     def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
@@ -234,6 +263,37 @@ class TapeTable:
             raise ValueError(f"snapshot {sid} has no data files")
         paths = [os.path.join(self.root, f) for f in files]
         return self.spark.read.parquet(*paths)
+
+    def pruned_files(self, partition_col: str, keys: list) -> list[str]:
+        """The subset of current data files whose group bucket stats can
+        contain any of *keys*.  Groups without stats (written before
+        bucketing, or with a different partition_col) are always kept —
+        pruning is only ever safe, false positives only cost a read."""
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return []
+        m = self.manifest(sid)
+        pb = m.get("partition_buckets", {})
+        key_buckets = {_key_bucket(k) for k in keys}
+        kept: list[str] = []
+        for f in m["files"]:
+            buckets = pb.get(os.path.dirname(f))
+            if buckets is None or (set(buckets) & key_buckets):
+                kept.append(f)
+        return kept
+
+    def read_pruned(self, partition_col: str, keys: list) -> DataFrame:
+        """Scan only the file groups that can contain *keys* (bucket-stat
+        file skipping).  Rows for OTHER keys may still appear (a group
+        holds many keys; stats are buckets, not values) — callers filter,
+        exactly as with partition pruning on a real table format."""
+        files = self.pruned_files(partition_col, keys)
+        if not files:
+            # preserve schema for empty result
+            return self.read().limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
 
     def read_incremental(self, after_snapshot_id: int | None) -> DataFrame | None:
         """Rows appended in snapshots strictly newer than the checkpoint

@@ -217,6 +217,54 @@ class TestIncrementalDerive:
             writer.read("conv_aggregates"), writer2.read("conv_aggregates")
         )
 
+    def test_paged_drain_prunes_raw_file_groups(self, spark, transcripts,
+                                                tmp_path):
+        """With conv_id bucket stats on the raw appends, a page's input
+        scan reads only the file groups that can contain its convs — the
+        full raw tape is no longer re-scanned once per page (at 10^3
+        pages that is the difference between O(raw) and O(P x raw) read
+        volume).  Pruning must stay SAFE: every row of the page's convs
+        still appears, and the drained sinks match the one-shot drain."""
+        input_tape = TapeTable(spark, str(tmp_path / "inputp"))
+        convs = sorted(
+            r["conv_id"]
+            for r in transcripts.select("conv_id").distinct().collect()
+        )
+        chunks = [convs[:3], convs[3:6], convs[6:]]
+        for chunk in chunks:
+            input_tape.append(
+                transcripts.filter(F.col("conv_id").isin(chunk)),
+                partition_col="conv_id",
+            )
+        all_files = set(
+            input_tape.manifest(input_tape.current_snapshot_id())["files"]
+        )
+        pruned = set(input_tape.pruned_files("conv_id", chunks[0]))
+        assert pruned < all_files, "page scan must skip file groups"
+        # safety: the pruned scan still holds every row of the page convs
+        got = (
+            input_tape.read_pruned("conv_id", chunks[0])
+            .filter(F.col("conv_id").isin(chunks[0]))
+            .count()
+        )
+        assert got == transcripts.filter(
+            F.col("conv_id").isin(chunks[0])
+        ).count()
+        # end-to-end: the paged drain over pruned scans matches one-shot
+        writer = SinkWriter(spark, str(tmp_path / "sinksp"))
+        r = IncrementalDeriver(
+            spark, input_tape, writer, page_size=3
+        ).process("run-1")
+        assert r["dirty"] == 8 and r["pages"] == 3
+        input_tape2 = TapeTable(spark, str(tmp_path / "inputp2"))
+        input_tape2.append(transcripts)
+        writer2 = SinkWriter(spark, str(tmp_path / "sinksp2"))
+        IncrementalDeriver(spark, input_tape2, writer2).process("run-1")
+        assert _same(
+            writer.read("conversation_tape"),
+            writer2.read("conversation_tape"),
+        )
+
     def test_rederive_is_idempotent(self, spark, setup):
         input_tape, writer = setup
         d = IncrementalDeriver(spark, input_tape, writer)
