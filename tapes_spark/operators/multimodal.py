@@ -2,14 +2,15 @@
 
 Images / audio / video ride as opaque ``binary`` columns next to a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages.  Decoding is REAL for the
-uncompressed formats expressible without codec libraries — pure-numpy
-24-bit BMP and binary PPM header+pixel parses, and 16-bit PCM WAV chunk
-walks (``_decode_media``) — end-to-end: decode -> block-mean resize
-(``_pool_to_grid``) -> pooled feature vector.  Compressed formats
-(PNG/JPEG/MP3/MP4) raise ``NotImplementedError`` in strict mode (swap in
-PIL/torchaudio on a real cluster) or fall back to a deterministic
-content-hash fake in test mode.
+Arrow-batched ``mapInPandas`` stages.  Decoding is REAL for every format
+expressible without codec libraries — pure-numpy 24-bit BMP and binary
+PPM header+pixel parses, non-interlaced 8-bit PNG (stdlib zlib inflate +
+scanline defilter 0-4), and 16-bit PCM WAV chunk walks (``_decode_media``)
+— end-to-end: decode -> block-mean resize (``_pool_to_grid``) -> pooled
+feature vector.  Formats needing real codec backends (JPEG/MP3/MP4, plus
+interlaced/16-bit/palette PNG) raise ``NotImplementedError`` in strict
+mode (swap in PIL/torchaudio on a real cluster) or fall back to a
+deterministic content-hash fake in test mode.
 
 Scale notes: binary payloads dominate row size, so the batch size for
 mapInPandas stages must be bounded by BYTES not rows —
@@ -20,6 +21,7 @@ mapInPandas stages must be bounded by BYTES not rows —
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -154,6 +156,103 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit grayscale/RGB/RGBA PNG -> luminance plane in
+    [0, 1] — pure numpy + stdlib zlib (no codec libraries).
+
+    IHDR/IDAT chunk walk, one inflate over the concatenated IDAT stream,
+    then per-scanline defiltering (filter types 0-4).  Sub (1) is a
+    per-channel prefix sum mod 256 (vectorized cumsum); Up (2) is a row
+    vector add; Average (3) and Paeth (4) are inherently sequential in x
+    and loop per PIXEL with bpp-wide numpy ops.  Interlaced, 16-bit, and
+    palette images raise NotImplementedError (strict-mode contract)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    pos = 8
+    ihdr: bytes | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            f"png: only non-interlaced 8-bit gray/RGB/RGBA supported "
+            f"(depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch + 1
+    if raw.size < stride * h:
+        raise ValueError("png: truncated pixel data")
+    rows = raw[: stride * h].reshape(h, stride)
+    ftypes = rows[:, 0]
+    data_rows = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, w * ch), np.int32)
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f, cur = int(ftypes[y]), data_rows[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: prefix sum per channel lane
+            rec = (
+                np.cumsum(cur.reshape(w, ch), axis=0) % 256
+            ).reshape(-1)
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(w * ch, np.int32)
+            left = np.zeros(ch, np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (cur[s] + (left + prev[s]) // 2) % 256
+                rec[s] = left
+        elif f == 4:  # Paeth
+            rec = np.empty(w * ch, np.int32)
+            left = np.zeros(ch, np.int32)
+            ul = np.zeros(ch, np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                up = prev[s]
+                p = left + up - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (cur[s] + pred) % 256
+                rec[s] = left
+                ul = up
+        else:
+            raise ValueError(f"png: bad filter type {f}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, ch).astype(np.float64) / 255.0
+    if ch == 1:
+        return img[:, :, 0]
+    # RGB(A): BT.601 luminance; alpha ignored
+    return (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    )
+
+
 def _decode_wav(payload: bytes) -> np.ndarray:
     """16-bit PCM WAV -> frame-sampled plane in [0, 1].
 
@@ -195,22 +294,25 @@ def _decode_wav(payload: bytes) -> np.ndarray:
 def _decode_media(payload: bytes, fake: bool) -> np.ndarray:
     """Decode one payload to a pooled (GRID, GRID) luminance plane.
 
-    REAL pure-numpy decoders cover the uncompressed formats this
-    container can express without codec libraries: 24-bit BMP, binary
-    PPM, 16-bit PCM WAV.  Compressed formats (PNG/JPEG/MP3/MP4) still
-    raise NotImplementedError in strict mode — swap in PIL/torchaudio on
-    a real cluster — or fall back to the deterministic fake in test
+    REAL pure-numpy decoders cover what this container can express
+    without codec libraries: 24-bit BMP, binary PPM, non-interlaced
+    8-bit PNG (stdlib zlib), 16-bit PCM WAV.  JPEG/MP3/MP4 still raise
+    NotImplementedError in strict mode — swap in PIL/torchaudio on a
+    real cluster — or fall back to the deterministic fake in test
     mode."""
     if payload[:2] == b"BM":
         return _pool_to_grid(_decode_bmp(payload))
     if payload[:2] == b"P6":
         return _pool_to_grid(_decode_ppm(payload))
+    if payload[:8] == _PNG_SIG:
+        return _pool_to_grid(_decode_png(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _pool_to_grid(_decode_wav(payload))
     if not fake:
         raise NotImplementedError(
             "no decoder for this format in this environment (real paths: "
-            "BMP/PPM/WAV); pass fake_decode=True or install a codec backend"
+            "BMP/PPM/PNG/WAV); pass fake_decode=True or install a codec "
+            "backend (JPEG/MP3/MP4 remain stubbed)"
         )
     # deterministic fake: a pseudo-pixel array seeded by content hash
     digest = hashlib.sha256(payload).digest()
@@ -422,6 +524,57 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
 
 
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3|4) uint8 -> non-interlaced 8-bit PNG bytes with every
+    scanline filtered as *filter_type* (0-4) — deterministic test/fixture
+    encoder exercising each defilter path of the real decoder."""
+    h, w, ch = img.shape
+    color_type = {3: 2, 4: 6}[ch]
+    raw = img.reshape(h, w * ch).astype(np.int32)
+    zeros = np.zeros(w * ch, np.int32)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        prev = raw[y - 1] if y else zeros
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"png: bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """int16 mono samples -> 16-bit PCM WAV bytes."""
     data = np.asarray(samples, dtype="<i2").tobytes()
@@ -446,7 +599,7 @@ def make_real_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         rng = np.random.RandomState(seed * 1_000_003 + i)
-        kind_idx = i % 3
+        kind_idx = i % 4
         if kind_idx == 0:
             h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
             rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -456,6 +609,15 @@ def make_real_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
             h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
             rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload, kind, mime = encode_ppm(rgb), "image", "image/x-portable-pixmap"
+            dur = None
+        elif kind_idx == 2:
+            h, w = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+            depth = 4 if i % 8 == 2 else 3  # alternate RGB / RGBA
+            rgb = rng.randint(0, 256, size=(h, w, depth), dtype=np.uint8)
+            payload, kind, mime = (
+                encode_png(rgb, filter_type=int(rng.randint(0, 5))),
+                "image", "image/png",
+            )
             dur = None
         else:
             n_samp = int(rng.randint(64, 2048))

@@ -104,12 +104,41 @@ class TestRealCodecs:
         ).collect()
         assert [r["feature"] for r in feats] == [r["feature"] for r in again]
 
-    def test_compressed_formats_still_raise(self):
+    def test_codec_backed_formats_still_raise(self):
         import pytest as _pytest
 
-        png_magic = b"\x89PNG\r\n\x1a\n" + bytes(64)
+        jpeg_magic = b"\xff\xd8\xff\xe0" + bytes(64)
         with _pytest.raises(NotImplementedError):
-            mm._decode_media(png_magic, fake=False)
+            mm._decode_media(jpeg_magic, fake=False)
+
+    def test_png_roundtrip_all_filters(self):
+        """Every defilter path (0=None 1=Sub 2=Up 3=Average 4=Paeth) must
+        reconstruct the exact pixels it encoded."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rgb = rng.randint(0, 256, size=(11, 13, 3), dtype=np.uint8)
+        want = (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]
+        ) / 255.0
+        for f in range(5):
+            got = mm._decode_png(mm.encode_png(rgb, filter_type=f))
+            assert np.allclose(got, want, atol=1e-9), f"filter {f}"
+
+    def test_png_rgba_and_unsupported_variants(self):
+        import numpy as np
+        import pytest as _pytest
+
+        rng = np.random.RandomState(9)
+        rgba = rng.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
+        got = mm._decode_png(mm.encode_png(rgba, filter_type=4))
+        assert got.shape == (6, 5)  # alpha ignored, luminance plane
+        # 16-bit / interlaced / palette stay strict-mode stubs
+        good = bytearray(mm.encode_png(rgba))
+        bad_depth = bytes(good[:24]) + b"\x10" + bytes(good[25:])
+        with _pytest.raises(NotImplementedError):
+            mm._decode_png(bad_depth)
 
 
 class TestPoisonedEmbeds:
