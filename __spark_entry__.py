@@ -945,6 +945,32 @@ FROM laddered GROUP BY 1
 """
 
 
+def q_sse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 SSE stream reducer, gated by the reducer/one-shot byte-equality
+    contract (reference pkg/capture/anthropic.go:57-224): every document
+    is encoded into a chunked wire-shaped SSE stream (deterministic
+    per-doc delta sizes, pings interleaved), parsed by the native event
+    parser (sources/sse.sse_events, codegen) and folded by the stateful
+    reducer (reduce_sse, groupBy(turn).applyInPandas) — the output must
+    re-assemble the EXACT source text, so the oracle is simply the
+    documents table itself."""
+    from tapes_spark.sources.sse import (
+        make_sse_recordings,
+        reduce_sse,
+        sse_events,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    reduced = reduce_sse(sse_events(make_sse_recordings(docs)))
+    return reduced.select(
+        F.substring("conv_id", 5, 100).cast("bigint").alias("doc_id"),
+        "text",
+    )
+
+
+_SSE_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
@@ -972,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "transport_drop_hist": q_transport_drop_hist,
+        "sse_roundtrip": q_sse_roundtrip,
     }
 
 
@@ -1000,6 +1027,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_source": _quality_sql(),
         "asof_attach": _ASOF_SQL,
         "transport_drop_hist": _TRANSPORT_DROP_SQL,
+        # the SSE reducer's contract IS equality with the one-shot text
+        "sse_roundtrip": _SSE_ROUNDTRIP_SQL,
         # minhash output == exact Jaccard at this threshold (see
         # q_minhash_lsh_pairs docstring for the recall argument)
         "minhash_lsh_pairs": _JACCARD_SQL,

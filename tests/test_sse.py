@@ -1,0 +1,146 @@
+"""P3 SSE reducer gates: the reducer/one-shot byte-equality contract
+(reference pkg/capture/anthropic.go:57-224) over wire-shaped fixtures —
+reduced text must equal the source text EXACTLY, and the reduced stream
+must feed the existing transcript backfill path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tapes_spark.sources.sse import (
+    encode_sse_message,
+    make_sse_recordings,
+    reduce_sse,
+    sse_events,
+    sse_to_transcripts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+class TestByteEquality:
+    def test_roundtrip_over_documents(self, spark, docs):
+        """Chunked wire deltas re-assemble to the EXACT source text for
+        every document in the corpus (whitespace runs, punctuation,
+        multi-byte content included)."""
+        recordings = make_sse_recordings(docs)
+        reduced = reduce_sse(sse_events(recordings)).withColumn(
+            "doc_id", F.substring("conv_id", 5, 100).cast("long")
+        )
+        joined = reduced.join(
+            docs.select("doc_id", F.col("text").alias("want")), "doc_id"
+        )
+        n = joined.count()
+        assert n == docs.count()
+        mismatched = joined.filter(
+            ~F.col("text").eqNullSafe(F.col("want"))
+        ).count()
+        assert mismatched == 0
+
+    def test_awkward_texts(self, spark):
+        """Blank-line separators, unicode, emptiness: the wire format's
+        JSON escaping must keep block splits exact."""
+        texts = [
+            (0, "a\n\nb\n\nc"),
+            (1, ""),
+            (2, "κόσμος 日本語 \t tab"),
+            (3, "event: fake\ndata: {}\n\ninjection attempt"),
+            (4, " leading and trailing  "),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        reduced = reduce_sse(sse_events(make_sse_recordings(df))).withColumn(
+            "doc_id", F.substring("conv_id", 5, 100).cast("long")
+        )
+        got = {r["doc_id"]: r["text"] for r in reduced.collect()}
+        assert got == dict(texts)
+
+
+class TestFoldSemantics:
+    def _events_df(self, spark, sse: str):
+        df = spark.createDataFrame(
+            [("c", 0, sse)], "conv_id string, turn_idx int, sse string"
+        )
+        return sse_events(df)
+
+    def test_usage_and_stop_reason(self, spark):
+        sse = encode_sse_message("hello world", "msg_1", input_tokens=7)
+        row = reduce_sse(self._events_df(spark, sse)).collect()[0]
+        assert row["text"] == "hello world"
+        assert row["model"] == "model-x" and row["role"] == "assistant"
+        assert row["stop_reason"] == "end_turn"
+        assert row["input_tokens"] == 7 and row["output_tokens"] >= 1
+
+    def test_tool_use_input_json_assembled(self, spark):
+        import json
+
+        frags = ['{"comm', 'and": "ls', ' -la"}']
+        events = [
+            ("message_start",
+             '{"type":"message_start","message":{"role":"assistant",'
+             '"model":"m","usage":{"input_tokens":1}}}'),
+            ("content_block_start",
+             '{"type":"content_block_start","index":0,"content_block":'
+             '{"type":"tool_use","id":"tu_1","name":"Bash","input":{}}}'),
+        ] + [
+            ("content_block_delta",
+             json.dumps({"type": "content_block_delta", "index": 0,
+                         "delta": {"type": "input_json_delta",
+                                   "partial_json": f}}))
+            for f in frags
+        ] + [
+            ("content_block_stop", '{"type":"content_block_stop","index":0}'),
+            ("message_delta",
+             '{"type":"message_delta","delta":{"stop_reason":"tool_use"},'
+             '"usage":{"output_tokens":5}}'),
+            ("message_stop", '{"type":"message_stop"}'),
+        ]
+        sse = "".join(f"event: {t}\ndata: {d}\n\n" for t, d in events)
+        row = reduce_sse(self._events_df(spark, sse)).collect()[0]
+        assert row["tool_name"] == "Bash"
+        assert json.loads(row["tool_input_json"]) == {"command": "ls -la"}
+        assert row["stop_reason"] == "tool_use"
+        assert row["text"] == ""
+
+    def test_pings_and_damage_ignored(self, spark):
+        sse = (
+            "event: ping\ndata: {\"type\":\"ping\"}\n\n"
+            "event: content_block_delta\ndata: NOT-JSON\n\n"
+            + encode_sse_message("ok", "msg_2")
+        )
+        row = reduce_sse(self._events_df(spark, sse)).collect()[0]
+        assert row["text"] == "ok"
+
+    def test_event_parse_is_native(self, spark):
+        """The event parser must stay JVM-side (no Python stage)."""
+        df = spark.createDataFrame(
+            [("c", 0, encode_sse_message("x", "m"))],
+            "conv_id string, turn_idx int, sse string",
+        )
+        plan = sse_events(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestBackfillBridge:
+    def test_reduced_stream_feeds_pipeline(self, spark):
+        from tapes_spark.pipeline import run_pipeline
+
+        df = spark.createDataFrame(
+            [(0, "the assistant replied at length"), (1, "short")],
+            "doc_id long, text string",
+        )
+        tx = sse_to_transcripts(
+            reduce_sse(sse_events(make_sse_recordings(df)))
+        )
+        res = run_pipeline(spark, tx, persist=False)
+        assert res.sinks["conversation_tape"].count() == 2
+        texts = {
+            r["conv_id"]: r["response_preview"]
+            for r in res.sinks["conversation_tape"].collect()
+        }
+        assert "assistant replied" in texts["sse-0"]
