@@ -15,10 +15,12 @@ path:
   sse_events   — wire text -> one row per event.  Pure native Column
                  work (split on the blank-line block separator +
                  regexp_extract), whole-stage codegen, no Python.
-  reduce_sse   — the stateful fold: groupBy(turn).applyInPandas, one
-                 output row per turn with the assembled text, tool-use
-                 input JSON, usage counters and stop reason.  Events
-                 within a turn are folded in event_idx (wire) order.
+  reduce_sse   — the stateful fold: one output row per turn with the
+                 assembled text, tool-use input JSON, usage counters and
+                 stop reason, events folded in event_idx (wire) order —
+                 expressed as native ordered aggregations (one from_json
+                 per event + array_sort/array_join collect_lists), so
+                 the whole reducer stays JVM-side.
   sse_to_transcripts — reduced messages in the transcript schema, so a
                  recorded wire corpus backfills through run_pipeline
                  exactly like transcript JSONL (S9).
@@ -27,11 +29,11 @@ path:
                  conversation): the byte-equality gate re-assembles the
                  original text exactly, with no external data.
 
-Scale notes: parsing is codegen-native; only the per-turn fold crosses
-to Python (Arrow-batched, one group per turn — a turn's event count is
-bounded by response length, so groups are small and numerous; the
-applyInPandas per-group overhead is acceptable for a BACKFILL source,
-which runs once per recording, not per query).
+Scale notes: the entire parse+reduce path is native (no Python stage at
+all — a per-turn applyInPandas fold was measured ~6x slower from group
+overhead alone); aggregations key on (turn, block) then (turn), so the
+reduction is map-side-partial, whole-stage-codegen where expressions
+allow, and AQE-skew-splittable like every other aggregate.
 """
 
 from __future__ import annotations
@@ -91,24 +93,6 @@ def sse_events(
     return out
 
 
-def _reduce_schema(events: DataFrame, key_cols: tuple[str, ...]) -> StructType:
-    key_fields = [f for f in events.schema.fields if f.name in key_cols]
-    return StructType(
-        key_fields
-        + [
-            StructField("model", StringType()),
-            StructField("role", StringType()),
-            StructField("stop_reason", StringType()),
-            StructField("text", StringType()),
-            StructField("tool_name", StringType()),
-            StructField("tool_input_json", StringType()),
-            StructField("input_tokens", LongType()),
-            StructField("output_tokens", LongType()),
-            StructField("n_events", LongType()),
-        ]
-    )
-
-
 def reduce_sse(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
@@ -117,82 +101,182 @@ def reduce_sse(
     from text_delta events and tool input from input_json_delta events in
     wire order — the reducer half of the reducer/one-shot byte-equality
     contract (anthropic.go:57-224).  Unknown event types are ignored
-    (forward-compatible, like the reference's default arm)."""
-    schema = _reduce_schema(events, key_cols)
-    keys = [f.name for f in schema.fields if f.name in key_cols]
+    (forward-compatible, like the reference's default arm).
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_idx")
-        model = role = stop_reason = tool_name = None
-        input_tokens = output_tokens = None
-        blocks: dict[int, dict] = {}
-        n = 0
-        for etype, data in zip(pdf["event_type"], pdf["data_json"]):
-            n += 1
-            if etype == "ping" or not data:
-                continue
-            try:
-                d = json.loads(data)
-            except ValueError:
-                continue  # a damaged event never poisons the fold
-            if etype == "message_start":
-                msg = d.get("message", {})
-                model = msg.get("model")
-                role = msg.get("role")
-                input_tokens = (msg.get("usage") or {}).get("input_tokens")
-            elif etype == "content_block_start":
-                idx = d.get("index", 0)
-                cb = d.get("content_block", {})
-                blocks[idx] = {
-                    "type": cb.get("type", "text"),
-                    "text": [cb.get("text", "") or ""],
-                    "json": [cb.get("partial_json", "") or ""],
-                    "name": cb.get("name"),
-                }
-            elif etype == "content_block_delta":
-                idx = d.get("index", 0)
-                blk = blocks.setdefault(
-                    idx, {"type": "text", "text": [], "json": [], "name": None}
+    Expressed as NATIVE ordered aggregations, no Python in the fold:
+    one from_json per event (Jackson unescapes \\n/\\uXXXX/surrogate
+    pairs exactly), then per-block ordered concatenation via
+    array_join(array_sort(collect_list(struct(event_idx, text)))) and a
+    turn-level assembly in block-index order.  Earlier cuts of this fold
+    were a per-turn applyInPandas: ~0.5ms/group x one group per turn
+    plus per-event Python made the reducer the slowest query in the
+    bench (13s at sf0.1 vs ~2s here); the fold is a deterministic
+    order-respecting reduction, which ordered collect_list aggregation
+    expresses exactly — so Spark executes it map-side-partial,
+    whole-stage, and skew-splittable like every other aggregate.
+    """
+    keys = [c for c in events.columns if c in key_cols]
+
+    # ONE JVM-side parse per event into a typed struct; damaged JSON
+    # parses to a NULL struct — the event contributes nothing, never
+    # poisons the fold (the reference's default arm).  (A per-field
+    # get_json_object variant re-parses per extraction — JsonToStructs
+    # is CodegenFallback, no common-subexpression elimination.)
+    event_ddl = (
+        "message struct<model:string,role:string,"
+        "usage:struct<input_tokens:bigint>>, "
+        "index int, "
+        "content_block struct<type:string,text:string,name:string>, "
+        "delta struct<type:string,text:string,partial_json:string,"
+        "stop_reason:string>, "
+        "usage struct<output_tokens:bigint>"
+    )
+    j = F.from_json(F.col("data_json"), event_ddl)
+    e = events.select(
+        *keys,
+        "event_idx",
+        "event_type",
+        j.alias("j"),
+    ).select(
+        *keys,
+        "event_idx",
+        "event_type",
+        F.coalesce(F.col("j.index"), F.lit(0)).alias("bidx"),
+        F.col("j.content_block.type").alias("cb_type"),
+        F.col("j.content_block.text").alias("cb_text"),
+        F.col("j.content_block.name").alias("cb_name"),
+        F.col("j.delta.type").alias("d_type"),
+        F.col("j.delta.text").alias("d_text"),
+        F.col("j.delta.partial_json").alias("d_pj"),
+        F.col("j.delta.stop_reason").alias("d_stop"),
+        F.col("j.message.model").alias("m_model"),
+        F.col("j.message.role").alias("m_role"),
+        F.col("j.message.usage.input_tokens").alias("m_in_tok"),
+        F.col("j.usage.output_tokens").alias("m_out_tok"),
+    )
+    etype = F.col("event_type")
+    is_start = etype == "content_block_start"
+    is_delta = etype == "content_block_delta"
+
+    def _ordered_concat(cond, idx_col: str, val):
+        # concat of *val* over rows matching *cond*, in *idx_col* order:
+        # collect_list drops the when()'s NULLs, array_sort orders by the
+        # struct's leading (unique) index field
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            cond,
+                            F.struct(
+                                F.col(idx_col).alias("i"),
+                                F.coalesce(val, F.lit("")).alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "",
+        )
+
+    # per-(turn, block): type/name/initial-text from the first
+    # content_block_start, deltas concatenated in event order
+    blocks = (
+        e.filter(is_start | is_delta)
+        .groupBy(*keys, "bidx")
+        .agg(
+            F.min(
+                F.when(
+                    is_start,
+                    F.struct("event_idx", "cb_type", "cb_text", "cb_name"),
                 )
-                delta = d.get("delta", {})
-                if delta.get("type") == "text_delta":
-                    blk["text"].append(delta.get("text", ""))
-                elif delta.get("type") == "input_json_delta":
-                    blk["json"].append(delta.get("partial_json", ""))
-            elif etype == "message_delta":
-                delta = d.get("delta", {})
-                stop_reason = delta.get("stop_reason", stop_reason)
-                usage = d.get("usage") or {}
-                if "output_tokens" in usage:
-                    output_tokens = usage["output_tokens"]
-        text = "".join(
-            "".join(blk["text"])
-            for _, blk in sorted(blocks.items())
-            if blk["type"] == "text"
+            ).alias("start"),
+            _ordered_concat(
+                is_delta & (F.col("d_type") == "text_delta"),
+                "event_idx", F.col("d_text"),
+            ).alias("dtext"),
+            _ordered_concat(
+                is_delta & (F.col("d_type") == "input_json_delta"),
+                "event_idx", F.col("d_pj"),
+            ).alias("djson"),
         )
-        tool_json = None
-        for _, blk in sorted(blocks.items()):
-            if blk["type"] == "tool_use":
-                tool_name = blk["name"]
-                tool_json = "".join(blk["json"])
-                break
-        out = {k: [pdf[k].iloc[0]] for k in keys}
-        out.update(
-            {
-                "model": [model],
-                "role": [role],
-                "stop_reason": [stop_reason],
-                "text": [text],
-                "tool_name": [tool_name],
-                "tool_input_json": [tool_json],
-                "input_tokens": [input_tokens],
-                "output_tokens": [output_tokens],
-                "n_events": [n],
-            }
+        .select(
+            *keys,
+            "bidx",
+            F.coalesce(F.col("start.cb_type"), F.lit("text")).alias("btype"),
+            F.concat(
+                F.coalesce(F.col("start.cb_text"), F.lit("")), F.col("dtext")
+            ).alias("btext"),
+            F.col("start.cb_name").alias("bname"),
+            "djson",
         )
-        return pd.DataFrame(out)
-
-    return events.groupBy(*keys).applyInPandas(fold, schema)
+    )
+    # turn-level: text blocks concatenated in block-index order; the
+    # FIRST tool_use block carries the tool name + assembled input JSON
+    per_turn = blocks.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("btype") == "text",
+                            F.struct(
+                                F.col("bidx").alias("i"),
+                                F.col("btext").alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "",
+        ).alias("text"),
+        F.min(
+            F.when(
+                F.col("btype") == "tool_use",
+                F.struct("bidx", "bname", "djson"),
+            )
+        ).alias("tool0"),
+    )
+    # turn-level headers; message_delta fields take the LAST non-null
+    # value (max over (event_idx, value) structs)
+    headers = e.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(etype == "message_start", F.col("m_model"))
+        ).alias("model"),
+        F.max(
+            F.when(etype == "message_start", F.col("m_role"))
+        ).alias("role"),
+        F.max(
+            F.when(etype == "message_start", F.col("m_in_tok"))
+        ).alias("input_tokens"),
+        F.max(
+            F.when(
+                (etype == "message_delta") & F.col("d_stop").isNotNull(),
+                F.struct("event_idx", "d_stop"),
+            )
+        )["d_stop"].alias("stop_reason"),
+        F.max(
+            F.when(
+                (etype == "message_delta") & F.col("m_out_tok").isNotNull(),
+                F.struct("event_idx", "m_out_tok"),
+            )
+        )["m_out_tok"].alias("output_tokens"),
+    )
+    return headers.join(per_turn, keys, "left").select(
+        *keys,
+        "model",
+        "role",
+        "stop_reason",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("tool0.bname").alias("tool_name"),
+        F.col("tool0.djson").alias("tool_input_json"),
+        F.col("input_tokens").cast("long").alias("input_tokens"),
+        F.col("output_tokens").cast("long").alias("output_tokens"),
+        "n_events",
+    )
 
 
 def sse_to_transcripts(reduced: DataFrame) -> DataFrame:
