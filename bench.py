@@ -1,16 +1,35 @@
 """Benchmark harness — one JSON line to stdout.
 
 Times (a) the end-to-end transcripts pipeline (parse -> enrich -> route ->
-aggregate, all sinks materialized) at two parallelism levels — N and N/4
-cores, each in its OWN subprocess so JIT warmth can't leak between levels
-— to evidence the BASELINE.json scaling-efficiency target in-sandbox, and
-(b) the headline operator queries from __spark_entry__.py at
-$SPARK_GRAFT_SF_DIR.
+aggregate, all sinks materialized) at two parallelism levels to evidence
+the BASELINE.json scaling-efficiency target in-sandbox, and (b) the
+headline operator queries from __spark_entry__.py at $SPARK_GRAFT_SF_DIR.
+
+Scaling measurement protocol (the north-rule number):
+
+  * One PERSISTENT child process per level (its own SparkSession + JIT
+    warmup on a 1/8 conv subset), driven over stdin/stdout.
+  * The N and 4N legs run INTERLEAVED — lo_1, hi_1, lo_2, hi_2, ... —
+    so each (lo_i, hi_i) pair executes back-to-back in time and a host
+    throughput drift hits both legs of a pair in the same phase.  The
+    round-3 artifact showed why this matters: non-interleaved legs
+    caught OPPOSITE noise phases on this shared-host sandbox (the
+    1-thread leg ran 339s in the driver run vs 422-458s in two builder
+    campaigns on identical code) and the shipped ratio swung ±0.13.
+  * scaling_efficiency (the contract number) is the MEDIAN of the
+    per-pair ratios (lo_i / hi_i) / (4N/N) — robust to a single noisy
+    pair in either direction; the raw walls, every per-pair ratio, and
+    the classic ratio-of-mins are all reported alongside.
+  * A plan-free host-ceiling CONTROL (scan -> repartition -> write of
+    the same input) runs at both levels, interleaved the same way: this
+    VM's shared memory bus caps ALL data-movement thread-scaling, and
+    efficiency_vs_host_ceiling isolates what the PLAN adds on top of the
+    host's physical ceiling (see BASELINE.md).
 
 Env:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     high parallelism level N (default 32)
-  BENCH_CONVS          transcripts bench conversations (default 20000)
+  BENCH_CONVS          transcripts bench conversations (default 200000)
   BENCH_TURNS          median turns per conv (default 30)
 """
 
@@ -18,8 +37,10 @@ from __future__ import annotations
 
 import json
 import os
+import select
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -41,18 +62,15 @@ SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
 SCALE_4N = SCALE_N * 4
 SCALE2_N = int(os.environ.get("BENCH_SCALE2_N", "2"))
 SCALE2_4N = SCALE2_N * 4
-# secondary pair takes min-of-2 (it is evidence, not the contract number)
+# secondary pair takes 2 interleaved pairs (evidence, not the contract)
 SCALE2_MEAS = int(os.environ.get("BENCH_SCALE2_MEAS", "2"))
 # the scaling pair runs on the same full-size table as the peak
 # measurement: fixed per-run overheads (driver planning, job scheduling,
 # JIT) eat the fast leg on smaller tables (measured 0.69 at 3M turns vs
-# 0.72-0.78 at 6M on identical code).  The host's +-40% throughput
-# swings mean a single sample per level is meaningless — the artifact of
-# record takes min-of-3 after a warmup at EACH level (min is the
-# least-noise estimator when noise only ever adds time)
+# 0.72-0.78 at 6M on identical code).
 SCALE_CONVS = int(os.environ.get("BENCH_SCALE_CONVS", str(N_CONVS)))
 SCALE_MEAS = int(os.environ.get("BENCH_SCALE_MEAS", "3"))
-# BENCH_FAST=1 skips the (N, 4N) scaling pair (the slow 2-core leg) and
+# BENCH_FAST=1 skips the scaling pairs (the slow 1-core legs) and
 # reports only peak throughput + per-query timings — for time-boxed runs
 FAST = os.environ.get("BENCH_FAST", "") == "1"
 
@@ -69,43 +87,105 @@ spark = get_spark("tapes-bench-{cores}", parallelism={cores},
                                "spark.sql.files.openCostInBytes": "0"}})
 tx = spark.read.parquet({path!r})
 turns = tx.count()
-# warmup pass on a 1/8 conv subset: JIT/codegen warmth costs a fraction of
-# a full run; the page cache fills during measured run 1 (and is already
-# resident for every leg after the first, since all legs read the same
-# file) — min-of-N only ever discards the slower samples, so a semi-warm
-# first run cannot bias the shipped number.  This sandbox's effective CPU
-# throughput fluctuates (shared host), so a single sample is unreliable;
-# min is the least-noise estimator.
+# warmup pass on a 1/8 conv subset: JIT/codegen warmth costs a fraction
+# of a full run; min-of-N / median-of-pairs absorbs any residual
+# cache-cold effect on the first measured run.
 warm = run_pipeline(
     spark, tx.filter("pmod(xxhash64(conv_id), 8) = 0"),
     stage_dir=stage + "_warm",
 )
 materialize_sinks(warm)
 shutil.rmtree(stage + "_warm", ignore_errors=True)
-walls = []
-for i in range({n_meas}):
-    shutil.rmtree(stage, ignore_errors=True)
-    t0 = time.time()
-    res = run_pipeline(spark, tx, stage_dir=stage)
-    materialize_sinks(res)
-    walls.append(time.time() - t0)
+print("READY " + json.dumps({{"turns": turns}}), flush=True)
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "EXIT":
+        break
+    if cmd == "RUN":
+        shutil.rmtree(stage, ignore_errors=True)
+        t0 = time.time()
+        res = run_pipeline(spark, tx, stage_dir=stage)
+        materialize_sinks(res)
+        print("DONE " + json.dumps({{"wall": time.time() - t0}}), flush=True)
+    elif cmd == "CTL":
+        # plan-free host-ceiling control: pure data movement at this
+        # thread count — the upper bound ANY plan can scale at here
+        shutil.rmtree(stage + "_ctl", ignore_errors=True)
+        t0 = time.time()
+        tx.repartition({cores}, "conv_id").write.mode("overwrite").parquet(
+            stage + "_ctl")
+        print("DONE " + json.dumps({{"wall": time.time() - t0}}), flush=True)
 shutil.rmtree(stage, ignore_errors=True)
-# host-ceiling CONTROL: a plan-free scan -> repartition -> write of the
-# same input measures what THIS HOST's shared memory bus delivers for
-# pure data movement at this thread count — the upper bound any plan
-# (which must at least move the data) can scale at on a single node
-ctl_walls = []
-for i in range(min({n_meas}, 2)):
-    shutil.rmtree(stage + "_ctl", ignore_errors=True)
-    t0 = time.time()
-    tx.repartition({cores}, "conv_id").write.mode("overwrite").parquet(
-        stage + "_ctl")
-    ctl_walls.append(time.time() - t0)
 shutil.rmtree(stage + "_ctl", ignore_errors=True)
-print("BENCH_RESULT " + json.dumps(
-    {{"wall": min(walls), "walls": walls, "turns": turns,
-      "ctl_wall": min(ctl_walls)}}))
 """
+
+
+class _BenchChild:
+    """A persistent per-level bench process: one SparkSession, one
+    warmup, then RUN/CTL commands on demand — so the two legs of a
+    scaling pair can interleave without paying session+warmup per
+    measurement."""
+
+    def __init__(self, cores: int, path: str):
+        self.cores = cores
+        code = _CHILD_SNIPPET.format(repo=REPO, cores=cores, path=path)
+        self.err = tempfile.NamedTemporaryFile(
+            mode="w+", prefix=f"bench_child_{cores}_", suffix=".log",
+            delete=False,
+        )
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=self.err, text=True, bufsize=1,
+        )
+        self.ready: dict | None = None
+
+    def _read(self, prefix: str, timeout: float) -> dict:
+        deadline = time.time() + timeout
+        while True:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                self._die(f"timed out waiting for {prefix!r}")
+            r, _, _ = select.select([self.proc.stdout], [], [], remaining)
+            if not r:
+                self._die(f"timed out waiting for {prefix!r}")
+            line = self.proc.stdout.readline()
+            if not line:
+                self._die("child exited")
+            if line.startswith(prefix):
+                return json.loads(line[len(prefix):])
+
+    def _die(self, why: str):
+        self.proc.kill()
+        self.err.flush()
+        with open(self.err.name) as f:
+            tail = f.read()[-2000:]
+        raise RuntimeError(
+            f"bench child ({self.cores} cores) {why}:\n{tail}"
+        )
+
+    def wait_ready(self, timeout: float = 3600) -> dict:
+        self.ready = self._read("READY ", timeout)
+        return self.ready
+
+    def run(self, cmd: str = "RUN", timeout: float = 3600) -> dict:
+        self.proc.stdin.write(cmd + "\n")
+        self.proc.stdin.flush()
+        return self._read("DONE ", timeout)
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _bench_table(n_convs: int) -> str:
@@ -126,21 +206,57 @@ def _bench_table(n_convs: int) -> str:
     return path
 
 
-def _run_pipeline_level(cores: int, path: str, n_meas: int = 2) -> dict:
-    code = _CHILD_SNIPPET.format(
-        repo=REPO, cores=cores, path=path, n_meas=n_meas
-    )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=3600,  # the 1-core leg runs warmup + min-of-3 full passes
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("BENCH_RESULT "):
-            return json.loads(line[len("BENCH_RESULT "):])
-    raise RuntimeError(
-        f"bench child ({cores} cores) failed:\n{out.stdout[-2000:]}\n"
-        f"{out.stderr[-2000:]}"
-    )
+def _pair_interleaved(n_lo: int, n_hi: int, n_meas: int, path: str) -> dict:
+    lo = _BenchChild(n_lo, path)
+    hi = _BenchChild(n_hi, path)
+    try:
+        # warmups overlap (both children build + warm concurrently)
+        lo_ready = lo.wait_ready()
+        hi.wait_ready()
+        ratio = n_hi / n_lo
+        walls_lo: list[float] = []
+        walls_hi: list[float] = []
+        pair_effs: list[float] = []
+        for _ in range(n_meas):
+            wl = lo.run()["wall"]
+            wh = hi.run()["wall"]
+            walls_lo.append(wl)
+            walls_hi.append(wh)
+            pair_effs.append((wl / wh) / ratio)
+        # interleaved host-ceiling controls (2 pairs, min per level)
+        ctl_lo_walls, ctl_hi_walls = [], []
+        for _ in range(2):
+            ctl_lo_walls.append(lo.run("CTL")["wall"])
+            ctl_hi_walls.append(hi.run("CTL")["wall"])
+        ctl_lo, ctl_hi = min(ctl_lo_walls), min(ctl_hi_walls)
+    finally:
+        lo.close()
+        hi.close()
+    eff = _median(pair_effs)
+    eff_mins = (min(walls_lo) / min(walls_hi)) / ratio
+    ctl_eff = (ctl_lo / ctl_hi) / ratio
+    turns = lo_ready["turns"]
+    return {
+        "scale_n": n_lo,
+        "scale_4n": n_hi,
+        "scale_turns": turns,
+        "wall_sec_n": round(min(walls_lo), 3),
+        "wall_sec_4n": round(min(walls_hi), 3),
+        "walls_n": [round(w, 1) for w in walls_lo],
+        "walls_4n": [round(w, 1) for w in walls_hi],
+        "turns_per_sec_n": round(turns / min(walls_lo), 1),
+        "turns_per_sec_4n": round(turns / min(walls_hi), 1),
+        # the contract number: median of per-(interleaved-)pair ratios
+        "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "scaling_efficiency_ratio_of_mins": round(eff_mins, 3),
+        "host_ceiling_ctl_wall_n": round(ctl_lo, 2),
+        "host_ceiling_ctl_wall_4n": round(ctl_hi, 2),
+        "host_ceiling_efficiency": round(ctl_eff, 3),
+        "efficiency_vs_host_ceiling": round(eff / ctl_eff, 3)
+        if ctl_eff
+        else None,
+    }
 
 
 def main() -> None:
@@ -150,65 +266,39 @@ def main() -> None:
     path = _bench_table(N_CONVS)
     out["pipeline"] = {
         "note": (
-            "single-node thread scaling, warmup + min-of-%d per level in "
-            "its own subprocess; primary pair %d->%d cores (contract "
-            "number), secondary_pair %d->%d (wider range, bus-limited); "
-            "this VM's shared memory bus caps ALL data-movement "
-            "thread-scaling (see host_ceiling_* control: a plan-free "
-            "scan+repartition+write of the same input) — "
-            "efficiency_vs_host_ceiling isolates what the PLAN adds on "
-            "top of the host's physical ceiling; see BASELINE.md"
+            "single-node thread scaling; per level one persistent child "
+            "(own SparkSession + 1/8-subset warmup); the N and 4N legs "
+            "run INTERLEAVED (lo,hi,lo,hi,...) so host throughput drift "
+            "hits both legs of a pair in the same phase, and "
+            "scaling_efficiency is the MEDIAN of per-pair ratios over "
+            "%d pairs (primary %d->%d cores = the contract number; "
+            "secondary %d->%d = wider range, bus-limited).  The "
+            "host_ceiling_* control (plan-free scan+repartition+write of "
+            "the same input) bounds what ANY plan can scale at on this "
+            "VM's shared memory bus; efficiency_vs_host_ceiling isolates "
+            "what the PLAN adds on top.  See BASELINE.md."
             % (SCALE_MEAS, SCALE_N, SCALE_4N, SCALE2_N, SCALE2_4N)
         ),
     }
     if not FAST:
-        # scaling pairs — the north-rule evidence.  Warmup + min-of-N at
-        # EACH level in its own subprocess: the r01 artifact recorded a
-        # single 2-core sample and host noise sank the shipped number.
-        # Alongside each pipeline pair, a plan-free CONTROL (scan ->
-        # repartition -> write of the same input) measures the host's own
-        # data-movement scaling at the same thread counts — on this
-        # single-node sandbox the shared memory bus caps ANY plan's
-        # thread-scaling well below what 4x the EXECUTORS (each with its
-        # own memory bus) deliver on the real cluster the north rule
-        # describes.
         scale_path = _bench_table(SCALE_CONVS)
-
-        def _pair(n_lo: int, n_hi: int, n_meas: int) -> dict:
-            lo = _run_pipeline_level(n_lo, scale_path, n_meas=n_meas)
-            hi = _run_pipeline_level(n_hi, scale_path, n_meas=n_meas)
-            ratio = n_hi / n_lo
-            eff = (lo["wall"] / hi["wall"]) / ratio
-            ctl_eff = (lo["ctl_wall"] / hi["ctl_wall"]) / ratio
-            return {
-                "scale_n": n_lo,
-                "scale_4n": n_hi,
-                "scale_turns": lo["turns"],
-                "wall_sec_n": round(lo["wall"], 3),
-                "wall_sec_4n": round(hi["wall"], 3),
-                "walls_n": [round(w, 1) for w in lo["walls"]],
-                "walls_4n": [round(w, 1) for w in hi["walls"]],
-                "turns_per_sec_n": round(lo["turns"] / lo["wall"], 1),
-                "turns_per_sec_4n": round(lo["turns"] / hi["wall"], 1),
-                "scaling_efficiency": round(eff, 3),
-                "host_ceiling_ctl_wall_n": round(lo["ctl_wall"], 2),
-                "host_ceiling_ctl_wall_4n": round(hi["ctl_wall"], 2),
-                "host_ceiling_efficiency": round(ctl_eff, 3),
-                "efficiency_vs_host_ceiling": round(eff / ctl_eff, 3)
-                if ctl_eff
-                else None,
-            }
-
         # PRIMARY pair (contract number: BASELINE.json >= 0.8)
-        out["pipeline"].update(_pair(SCALE_N, SCALE_4N, SCALE_MEAS))
+        out["pipeline"].update(
+            _pair_interleaved(SCALE_N, SCALE_4N, SCALE_MEAS, scale_path)
+        )
         # SECONDARY pair (wider thread range; hits the host's memory-bus
         # ceiling — reported with its own control for the decomposition)
-        out["pipeline"]["secondary_pair"] = _pair(
-            SCALE2_N, SCALE2_4N, SCALE2_MEAS
+        out["pipeline"]["secondary_pair"] = _pair_interleaved(
+            SCALE2_N, SCALE2_4N, SCALE2_MEAS, scale_path
         )
-    # peak throughput at full parallelism
-    pk = _run_pipeline_level(CPUS, path, n_meas=2)
-    wall_peak, turns, walls_peak = pk["wall"], pk["turns"], pk["walls"]
+    # peak throughput at full parallelism (persistent child, min-of-2)
+    pk_child = _BenchChild(CPUS, path)
+    try:
+        turns = pk_child.wait_ready()["turns"]
+        walls_peak = [pk_child.run()["wall"] for _ in range(2)]
+    finally:
+        pk_child.close()
+    wall_peak = min(walls_peak)
     out["pipeline"].update(
         {
             "turns": turns,
