@@ -188,6 +188,57 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _membw_task(_):
+    """Fixed memory-streaming workload for the bandwidth control: per-
+    process wall of summing a ~400MB array repeatedly (reads stream from
+    DRAM; L3-resident it is not)."""
+    import numpy as np
+
+    arr = np.arange(50_000_000, dtype=np.int64)  # 400 MB
+    t0 = time.time()
+    s = 0
+    for _i in range(16):
+        s += int(arr.sum())
+    return time.time() - t0
+
+
+def _cpu_task(_):
+    """Fixed cache-resident CPU workload (sha256 over a 1MB buffer) —
+    scales ~1.0 whenever the host grants full per-core compute."""
+    import hashlib
+
+    data = b"x" * 1_000_000
+    t0 = time.time()
+    for _i in range(2000):
+        hashlib.sha256(data).digest()
+    return time.time() - t0
+
+
+def _host_scaling_controls(n_lo: int, n_hi: int) -> dict:
+    """Plan-free host controls at the SAME process counts as the scaling
+    pair: per-process wall of (a) a DRAM-streaming task and (b) a cache-
+    resident CPU task, run with 1 vs N concurrent processes.  On this
+    shared VM the available memory bandwidth varies by the hour; a
+    bandwidth-bound pipeline can never thread-scale above (a), and (b)
+    ~1.0 rules out CPU steal.  These numbers let the artifact ATTRIBUTE
+    a low pipeline ratio to the host's hour, not the plan."""
+    import multiprocessing as mp
+
+    out = {}
+    for name, task in (("membw", _membw_task), ("cpu", _cpu_task)):
+        per = {}
+        for n in (n_lo, n_hi):
+            with mp.Pool(n) as pool:
+                walls = pool.map(task, range(n))
+            per[n] = _median(walls)
+        out[f"host_{name}_per_proc_wall_n"] = round(per[n_lo], 2)
+        out[f"host_{name}_per_proc_wall_4n"] = round(per[n_hi], 2)
+        # per-process slowdown under n_hi-way concurrency == the ceiling
+        # any workload bound on that resource can thread-scale at
+        out[f"host_{name}_scaling"] = round(per[n_lo] / per[n_hi], 3)
+    return out
+
+
 def _bench_table(n_convs: int) -> str:
     import hashlib
 
@@ -236,7 +287,9 @@ def _pair_interleaved(n_lo: int, n_hi: int, n_meas: int, path: str) -> dict:
     eff_mins = (min(walls_lo) / min(walls_hi)) / ratio
     ctl_eff = (ctl_lo / ctl_hi) / ratio
     turns = lo_ready["turns"]
+    controls = _host_scaling_controls(n_lo, n_hi)
     return {
+        **controls,
         "scale_n": n_lo,
         "scale_4n": n_hi,
         "scale_turns": turns,
@@ -276,7 +329,13 @@ def main() -> None:
             "host_ceiling_* control (plan-free scan+repartition+write of "
             "the same input) bounds what ANY plan can scale at on this "
             "VM's shared memory bus; efficiency_vs_host_ceiling isolates "
-            "what the PLAN adds on top.  See BASELINE.md."
+            "what the PLAN adds on top.  host_membw_scaling / "
+            "host_cpu_scaling are plan-free process-level controls at "
+            "the same concurrency: per-process slowdown of a pure "
+            "DRAM-streaming task (the ceiling for bandwidth-bound work "
+            "THIS hour — measured swinging 0.64-0.92 by hour on this "
+            "shared VM) and of a cache-resident CPU task (~1.0 = no "
+            "steal).  See BASELINE.md."
             % (SCALE_MEAS, SCALE_N, SCALE_4N, SCALE2_N, SCALE2_4N)
         ),
     }

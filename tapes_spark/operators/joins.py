@@ -46,6 +46,12 @@ def with_first_capture(df: DataFrame, content_col: str = "text_norm") -> DataFra
     """J1: flag the first capture of each normalized-content hash per conv.
 
     Deterministic: ordered by turn_idx within (conv_id, content_hash).
+
+    The hash is a WINDOW KEY only — deliberately not materialized as a
+    column: nothing downstream consumes it, and a stored sha256 hex
+    string was 38% of the staged table's bytes (incompressible random
+    hex written and bussed once per run for no reader; re-derivable from
+    text_norm at will).
     """
     content_hash = F.sha2(F.col(content_col), 256)
     # src_conv_id (present after the correction overlay) breaks (conv_id,
@@ -57,7 +63,7 @@ def with_first_capture(df: DataFrame, content_col: str = "text_norm") -> DataFra
     w = Window.partitionBy("conv_id", content_hash).orderBy(*order)
     return df.withColumn(
         "is_first_capture", F.row_number().over(w) == 1
-    ).withColumn("content_hash", content_hash)
+    )
 
 
 def with_resume_boundary(df: DataFrame) -> DataFrame:
