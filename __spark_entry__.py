@@ -951,9 +951,10 @@ def q_sse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is encoded into a chunked wire-shaped SSE stream (deterministic
     per-doc delta sizes, pings interleaved), parsed by the native event
     parser (sources/sse.sse_events, codegen) and folded by the stateful
-    reducer (reduce_sse, groupBy(turn).applyInPandas) — the output must
-    re-assemble the EXACT source text, so the oracle is simply the
-    documents table itself."""
+    reducer (reduce_sse — NATIVE ordered aggregation: one from_json per
+    event, array_sort(collect_list(struct)) concatenation, no Python
+    stage) — the output must re-assemble the EXACT source text, so the
+    oracle is simply the documents table itself."""
     from tapes_spark.sources.sse import (
         make_sse_recordings,
         reduce_sse,

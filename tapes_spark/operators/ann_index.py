@@ -136,8 +136,18 @@ class LshIndexTape:
         codes = self._codes(todo)
         n_changed = len(changed_ids)
         if n_changed:
+            # derive the id type from the corpus schema: a hardcoded long
+            # would fail (or type-mismatch the semi/anti joins) for
+            # string-keyed corpora
+            from pyspark.sql.types import StructField, StructType
+
             changed_df = self.spark.createDataFrame(
-                [(i,) for i in changed_ids], f"{self.id_col} long"
+                [(i,) for i in changed_ids],
+                StructType(
+                    [StructField(
+                        self.id_col, embeddings.schema[self.id_col].dataType
+                    )]
+                ),
             )
             self.tape.overwrite_partitions(
                 codes.join(changed_df, self.id_col, "left_semi"),

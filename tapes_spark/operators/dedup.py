@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 
 from tapes_spark.operators.textstats import tokens_col, with_fingerprint
 
+def _distinct_toks(text_col: str) -> F.Column:
+    """JVM-side distinct tokens for the signature paths.  NULL text must
+    fold to an EMPTY token list: split(NULL) -> NULL array, and a None
+    element reaching the vectorized batch tokenizer crashes the whole
+    mapInPandas stage (len(None)) — a null doc signs like an empty one."""
+    return F.coalesce(
+        F.array_distinct(tokens_col(F.col(text_col))),
+        F.array().cast("array<string>"),
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Explicit fan-out before mapInPandas: a single parquet file scans as
     ONE task (and a broadcast join never repartitions its stream side), so
@@ -275,7 +286,7 @@ def minhash_signatures(
                 {"doc_id": pdf["doc_id"].values, "signature": list(sig_mat)}
             )
 
-    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    toks = _distinct_toks(text_col)
     return _spread(docs.select("doc_id", toks.alias("toks"))).mapInPandas(
         compute, out_schema
     )
@@ -435,7 +446,7 @@ def simhash_signatures(
                 }
             )
 
-    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    toks = _distinct_toks(text_col)
     return _spread(docs.select("doc_id", toks.alias("toks"))).mapInPandas(
         compute, out_schema
     )

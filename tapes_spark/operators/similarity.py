@@ -127,9 +127,11 @@ def lsh_bucket_arrays(
     # (dim, n_tables*bits), column t*bits+b = plane[t, b]
     proj = planes.reshape(n_tables * bits, dim).T.copy()
     weights = (1 << np.arange(bits, dtype=np.int64))[None, None, :]
+    # id type derived from the corpus schema: a hardcoded long breaks the
+    # Arrow batch (and every downstream join) on string-keyed corpora
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, embeddings.schema[id_col].dataType),
             StructField("buckets", ArrayType(LongType())),
         ]
     )

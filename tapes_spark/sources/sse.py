@@ -124,7 +124,9 @@ def reduce_sse(
     # is CodegenFallback, no common-subexpression elimination.)
     event_ddl = (
         "message struct<model:string,role:string,"
-        "usage:struct<input_tokens:bigint>>, "
+        "usage:struct<input_tokens:bigint,"
+        "cache_creation_input_tokens:bigint,"
+        "cache_read_input_tokens:bigint>>, "
         "index int, "
         "content_block struct<type:string,text:string,name:string>, "
         "delta struct<type:string,text:string,partial_json:string,"
@@ -151,7 +153,19 @@ def reduce_sse(
         F.col("j.delta.stop_reason").alias("d_stop"),
         F.col("j.message.model").alias("m_model"),
         F.col("j.message.role").alias("m_role"),
-        F.col("j.message.usage.input_tokens").alias("m_in_tok"),
+        # prompt tokens fold cache-creation + cache-read into input — the
+        # reference reducer's totalInput (anthropic.go:111-113); a
+        # message_start without a usage block stays NULL, never a fake 0
+        F.when(
+            F.col("j.message.usage").isNotNull(),
+            F.coalesce(F.col("j.message.usage.input_tokens"), F.lit(0))
+            + F.coalesce(
+                F.col("j.message.usage.cache_creation_input_tokens"), F.lit(0)
+            )
+            + F.coalesce(
+                F.col("j.message.usage.cache_read_input_tokens"), F.lit(0)
+            ),
+        ).alias("m_in_tok"),
         F.col("j.usage.output_tokens").alias("m_out_tok"),
     )
     etype = F.col("event_type")
@@ -212,8 +226,11 @@ def reduce_sse(
             "djson",
         )
     )
-    # turn-level: text blocks concatenated in block-index order; the
-    # FIRST tool_use block carries the tool name + assembled input JSON
+    # turn-level: text blocks concatenated in block-index order; ALL
+    # tool_use blocks collected in block order (the reference reducer
+    # accumulates the full block list, anthropic.go's content slice) —
+    # the transcript bridge reads the first, but a multi-tool_use turn
+    # must not silently drop trailing tool inputs
     per_turn = blocks.groupBy(*keys).agg(
         F.array_join(
             F.transform(
@@ -232,12 +249,18 @@ def reduce_sse(
             ),
             "",
         ).alias("text"),
-        F.min(
-            F.when(
-                F.col("btype") == "tool_use",
-                F.struct("bidx", "bname", "djson"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("btype") == "tool_use",
+                    F.struct(
+                        F.col("bidx").alias("bidx"),
+                        F.col("bname").alias("name"),
+                        F.col("djson").alias("input_json"),
+                    ),
+                )
             )
-        ).alias("tool0"),
+        ).alias("tool_blocks"),
     )
     # turn-level headers; message_delta fields take the LAST non-null
     # value (max over (event_idx, value) structs)
@@ -265,14 +288,31 @@ def reduce_sse(
             )
         )["m_out_tok"].alias("output_tokens"),
     )
+    # try_element_at: ANSI mode makes plain element_at THROW on the empty
+    # array a tool-less turn folds to
+    tool0 = F.try_element_at(F.col("tool_blocks"), F.lit(1))
     return headers.join(per_turn, keys, "left").select(
         *keys,
         "model",
         "role",
         "stop_reason",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        F.col("tool0.bname").alias("tool_name"),
-        F.col("tool0.djson").alias("tool_input_json"),
+        tool0["name"].alias("tool_name"),
+        tool0["input_json"].alias("tool_input_json"),
+        # the FULL ordered block list (name, input_json per tool_use) —
+        # consumers that pair multi-tool turns read this, the one-tool
+        # transcript bridge reads tool_name/tool_input_json above
+        F.transform(
+            F.coalesce(
+                F.col("tool_blocks"),
+                F.array().cast(
+                    "array<struct<bidx:int,name:string,input_json:string>>"
+                ),
+            ),
+            lambda b: F.struct(
+                b["name"].alias("name"), b["input_json"].alias("input_json")
+            ),
+        ).alias("tool_blocks"),
         F.col("input_tokens").cast("long").alias("input_tokens"),
         F.col("output_tokens").cast("long").alias("output_tokens"),
         "n_events",

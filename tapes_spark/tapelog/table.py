@@ -58,6 +58,18 @@ def _key_bucket(v) -> int:
     expression crc32(cast(col as string)) % _N_BUCKETS exactly."""
     return zlib.crc32(str(v).encode("utf-8")) % _N_BUCKETS
 
+
+def _entry_buckets(entry, partition_col: str) -> set[int] | None:
+    """Usable bucket set of one manifest group entry for *partition_col*,
+    or None when the stats cannot be applied and the group must be KEPT:
+    the entry records a different column, or it is a legacy entry written
+    before the column name was recorded (a raw list).  Bucket sets for
+    column A say nothing about the values of column B — pruning on them
+    would silently skip groups that do contain matching rows."""
+    if isinstance(entry, dict) and entry.get("col") == partition_col:
+        return set(entry.get("buckets", ()))
+    return None
+
 try:  # pragma: no cover - exercised only on clusters with Iceberg jars
     import importlib.util
 
@@ -121,7 +133,7 @@ class TapeTable:
         files: list[str],
         operation: str,
         lineage: dict | None,
-        partition_buckets: dict[str, list[int]] | None = None,
+        partition_buckets: dict[str, dict] | None = None,
     ) -> int:
         parent = self.current_snapshot_id()
         snapshot_id = (parent or 0) + 1
@@ -174,10 +186,15 @@ class TapeTable:
         prev_files = self.manifest(parent)["files"] if parent else []
         prev_pb = self.manifest(parent).get("partition_buckets", {}) if parent else {}
         if partition_col is not None and new_files:
+            # stats record WHICH column they were computed on — bucket
+            # sets for one column must never prune scans keyed on another
             prev_pb = dict(prev_pb)
-            prev_pb[os.path.join("data", group)] = self._group_buckets(
-                os.path.join("data", group), partition_col
-            )
+            prev_pb[os.path.join("data", group)] = {
+                "col": partition_col,
+                "buckets": self._group_buckets(
+                    os.path.join("data", group), partition_col
+                ),
+            }
         return self._commit(prev_files + new_files, "append", lineage, prev_pb)
 
     def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
@@ -210,17 +227,21 @@ class TapeTable:
             m = self.manifest(parent)
             prev_pb = m.get("partition_buckets", {})
             # legacy manifests (pre-bucket) stored stringified value lists;
-            # compare string-to-string on both sides (a raw-typed key vs a
-            # str(v) entry never intersects — that bug silently kept stale
-            # rows), then fold into bucket space
+            # fold into bucket space AND record the column so the stats
+            # stay applicable (legacy partition_values were always written
+            # by overwrite_partitions for its own partition_col)
             for d, vals in m.get("partition_values", {}).items():
-                prev_pb.setdefault(d, sorted({_key_bucket(v) for v in vals}))
+                prev_pb.setdefault(
+                    d,
+                    {"col": partition_col,
+                     "buckets": sorted({_key_bucket(v) for v in vals})},
+                )
             groups: dict[str, list[str]] = {}
             for f in m["files"]:
                 groups.setdefault(os.path.dirname(f), []).append(f)
             for group_dir, files in groups.items():
-                buckets = prev_pb.get(group_dir)
-                if buckets is not None and not (set(buckets) & key_buckets):
+                buckets = _entry_buckets(prev_pb.get(group_dir), partition_col)
+                if buckets is not None and not (buckets & key_buckets):
                     kept_files.extend(files)
                 else:
                     # possible overlap (or no stats): rewrite minus keys
@@ -247,7 +268,10 @@ class TapeTable:
         )
         new_pb = {d: b for d, b in prev_pb.items()
                   if any(f.startswith(d) for f in kept_files)}
-        new_pb[group_dir] = sorted(int(r[0]) for r in bucket_rows)
+        new_pb[group_dir] = {
+            "col": partition_col,
+            "buckets": sorted(int(r[0]) for r in bucket_rows),
+        }
         return self._commit(
             kept_files + new_files, "overwrite_partitions", lineage, new_pb
         )
@@ -266,9 +290,11 @@ class TapeTable:
 
     def pruned_files(self, partition_col: str, keys: list) -> list[str]:
         """The subset of current data files whose group bucket stats can
-        contain any of *keys*.  Groups without stats (written before
-        bucketing, or with a different partition_col) are always kept —
-        pruning is only ever safe, false positives only cost a read."""
+        contain any of *keys*.  Groups without APPLICABLE stats — written
+        before bucketing, written as a legacy list without a recorded
+        column, or bucketed on a DIFFERENT partition_col — are always
+        kept: pruning is only ever safe, false positives only cost a
+        read."""
         sid = self.current_snapshot_id()
         if sid is None:
             return []
@@ -277,8 +303,8 @@ class TapeTable:
         key_buckets = {_key_bucket(k) for k in keys}
         kept: list[str] = []
         for f in m["files"]:
-            buckets = pb.get(os.path.dirname(f))
-            if buckets is None or (set(buckets) & key_buckets):
+            buckets = _entry_buckets(pb.get(os.path.dirname(f)), partition_col)
+            if buckets is None or (buckets & key_buckets):
                 kept.append(f)
         return kept
 

@@ -95,6 +95,33 @@ class TestIncrementalMaintenance:
                     mutated, dim).collect()}
         assert got == want
 
+    def test_string_id_col_changed_path(self, spark, emb, dim, tmp_path):
+        """The changed-vector reindex must derive the id TYPE from the
+        corpus schema — a hardcoded `long` frame fails (or silently
+        type-mismatches the joins) on string-keyed corpora."""
+        s_emb = emb.select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+        idx = LshIndexTape(spark, str(tmp_path / "anns"), dim)
+        idx.refresh(s_emb)
+        mutated = s_emb.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == "doc-0",
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        res = idx.refresh(mutated)
+        assert res["changed"] == 1 and res["indexed"] == 1
+        assert idx.read_buckets().count() == s_emb.count()
+        got = {r["vec_id"]: r["buckets"]
+               for r in idx.read_buckets().collect()}
+        want = {r["vec_id"]: r["buckets"]
+                for r in similarity.lsh_bucket_arrays(
+                    mutated, dim).collect()}
+        assert got == want
+
     def test_config_change_forces_full_rebuild(self, spark, emb, dim, tmp_path):
         root = str(tmp_path / "ann")
         LshIndexTape(spark, root, dim, n_tables=12).refresh(emb)

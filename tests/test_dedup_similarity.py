@@ -88,6 +88,21 @@ class TestMinHashLSH:
                     ), num_perm=8).collect()}
         assert rows[1] == solo[1] and rows[3] == solo[3]
 
+    def test_null_text_signs_like_empty(self, spark):
+        """split(NULL) -> NULL array must fold to an EMPTY token list, not
+        crash the vectorized batch (len(None)); a null doc gets the same
+        signature as an empty one on both signature paths."""
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        mh = {r["doc_id"]: r["signature"]
+              for r in dedup.minhash_signatures(df, num_perm=8).collect()}
+        assert mh[2] == mh[3] == [0] * 8
+        sh = {r["doc_id"]: r["simhash"]
+              for r in dedup.simhash_signatures(df).collect()}
+        assert sh[2] == sh[3] == 0
+
 
 class TestSimHash:
     def test_pairs_symmetric_and_bounded(self, docs):

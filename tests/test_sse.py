@@ -107,6 +107,69 @@ class TestFoldSemantics:
         assert row["stop_reason"] == "tool_use"
         assert row["text"] == ""
 
+    def test_multi_tool_use_blocks_all_collected(self, spark):
+        """A turn with TWO tool_use blocks must pin BOTH (ordered) in
+        tool_blocks — the reference reducer accumulates the full block
+        list; dropping trailing tool inputs would be silent data loss.
+        The one-tool transcript bridge still reads the FIRST."""
+        import json
+
+        def block(idx, name, frags):
+            out = [
+                ("content_block_start",
+                 json.dumps({"type": "content_block_start", "index": idx,
+                             "content_block": {"type": "tool_use",
+                                               "id": f"tu_{idx}",
+                                               "name": name, "input": {}}})),
+            ]
+            out += [
+                ("content_block_delta",
+                 json.dumps({"type": "content_block_delta", "index": idx,
+                             "delta": {"type": "input_json_delta",
+                                       "partial_json": f}}))
+                for f in frags
+            ]
+            out.append(
+                ("content_block_stop",
+                 json.dumps({"type": "content_block_stop", "index": idx}))
+            )
+            return out
+
+        events = [
+            ("message_start",
+             '{"type":"message_start","message":{"role":"assistant",'
+             '"model":"m","usage":{"input_tokens":1}}}'),
+        ] + block(0, "Read", ['{"path": "/a"}']) \
+          + block(1, "Bash", ['{"comm', 'and": "ls"}']) + [
+            ("message_delta",
+             '{"type":"message_delta","delta":{"stop_reason":"tool_use"},'
+             '"usage":{"output_tokens":5}}'),
+            ("message_stop", '{"type":"message_stop"}'),
+        ]
+        sse = "".join(f"event: {t}\ndata: {d}\n\n" for t, d in events)
+        row = reduce_sse(self._events_df(spark, sse)).collect()[0]
+        assert row["tool_name"] == "Read"  # bridge: first block
+        got = [(b["name"], b["input_json"]) for b in row["tool_blocks"]]
+        assert got == [
+            ("Read", '{"path": "/a"}'),
+            ("Bash", '{"command": "ls"}'),
+        ]
+
+    def test_cache_tokens_fold_into_input(self, spark):
+        """Prompt tokens = input + cache_creation + cache_read (the
+        reference's totalInput, anthropic.go:111-113) — a cached-prompt
+        recording must not under-report."""
+        sse = (
+            "event: message_start\ndata: "
+            '{"type":"message_start","message":{"role":"assistant",'
+            '"model":"m","usage":{"input_tokens":10,'
+            '"cache_creation_input_tokens":200,'
+            '"cache_read_input_tokens":3000}}}\n\n'
+            "event: message_stop\ndata: " '{"type":"message_stop"}\n\n'
+        )
+        row = reduce_sse(self._events_df(spark, sse)).collect()[0]
+        assert row["input_tokens"] == 3210
+
     def test_pings_and_damage_ignored(self, spark):
         sse = (
             "event: ping\ndata: {\"type\":\"ping\"}\n\n"

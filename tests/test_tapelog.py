@@ -94,9 +94,33 @@ class TestTapeTable:
             ["conv-1"],
         )
         m = t.manifest(s)
-        for buckets in m["partition_buckets"].values():
-            assert len(buckets) <= 1024
+        for entry in m["partition_buckets"].values():
+            assert entry["col"] == "conv_id"
+            assert len(entry["buckets"]) <= 1024
         assert "partition_values" not in m
+
+    def test_pruning_is_column_scoped(self, spark, tmp_path):
+        """Bucket stats recorded for one column must NEVER prune a scan
+        keyed on a different column — the stats say nothing about the
+        other column's values (silent data loss otherwise)."""
+        t = TapeTable(spark, str(tmp_path / "t6b"))
+        df = spark.createDataFrame(
+            [("conv-a", "user-1", 1), ("conv-b", "user-2", 2)],
+            "conv_id string, user_id string, v int",
+        )
+        t.append(df, partition_col="conv_id")
+        all_files = t.manifest(t.current_snapshot_id())["files"]
+        # same column: pruning applies (a key in no bucket skips the group)
+        assert t.pruned_files("conv_id", ["conv-a"]) == all_files
+        # different column: stats are inapplicable -> every group kept,
+        # even for keys whose crc buckets don't intersect the stored set
+        assert t.pruned_files("user_id", ["user-zzz-not-there"]) == all_files
+        assert (
+            t.read_pruned("user_id", ["user-1"])
+            .filter(F.col("user_id") == "user-1")
+            .count()
+            == 1
+        )
 
     def test_lineage_recorded(self, spark, tmp_path):
         t = TapeTable(spark, str(tmp_path / "t4"))
