@@ -972,6 +972,30 @@ def q_sse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSE_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
 
 
+def q_sse_roundtrip_openai(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 OpenAI Responses reducer under the same byte-equality contract
+    (reference pkg/capture/openai_responses.go:27-36,106-170): each
+    document is encoded into a Responses-shaped stream — alternating the
+    api.openai.com shape (event lines, full terminal Response) and the
+    codex shape (data-only frames, EMPTY terminal output, accumulated
+    output_item.done items as the record) — and the native fold must
+    re-assemble the exact source text."""
+    from tapes_spark.sources.sse import (
+        make_responses_recordings,
+        reduce_sse_openai,
+        sse_events,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    reduced = reduce_sse_openai(
+        sse_events(make_responses_recordings(docs), keep_dataonly=True)
+    )
+    return reduced.select(
+        F.substring("conv_id", 5, 100).cast("bigint").alias("doc_id"),
+        "text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize": q_sessionize,
@@ -1000,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "transport_drop_hist": q_transport_drop_hist,
         "sse_roundtrip": q_sse_roundtrip,
+        "sse_roundtrip_openai": q_sse_roundtrip_openai,
     }
 
 
@@ -1030,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "transport_drop_hist": _TRANSPORT_DROP_SQL,
         # the SSE reducer's contract IS equality with the one-shot text
         "sse_roundtrip": _SSE_ROUNDTRIP_SQL,
+        "sse_roundtrip_openai": _SSE_ROUNDTRIP_SQL,
         # minhash output == exact Jaccard at this threshold (see
         # q_minhash_lsh_pairs docstring for the recall argument)
         "minhash_lsh_pairs": _JACCARD_SQL,

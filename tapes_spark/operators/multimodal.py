@@ -4,11 +4,12 @@ Images / audio / video ride as opaque ``binary`` columns next to a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.  Decoding is REAL for every format
 expressible without codec libraries — pure-numpy 24-bit BMP and binary
-PPM header+pixel parses, non-interlaced 8-bit PNG (stdlib zlib inflate +
-scanline defilter 0-4), and 16-bit PCM WAV chunk walks (``_decode_media``)
-— end-to-end: decode -> block-mean resize (``_pool_to_grid``) -> pooled
-feature vector.  Formats needing real codec backends (JPEG/MP3/MP4, plus
-interlaced/16-bit/palette PNG) raise ``NotImplementedError`` in strict
+PPM header+pixel parses, non-interlaced 8-bit PNG including palette
+(stdlib zlib inflate + scanline defilter 0-4 + PLTE gather), and 16-bit
+PCM WAV chunk walks (``_decode_media``) — end-to-end: decode ->
+block-mean resize (``_pool_to_grid``) -> pooled feature vector.  Formats
+needing real codec backends (JPEG/MP3/MP4, plus
+interlaced/16-bit PNG) raise ``NotImplementedError`` in strict
 mode (swap in PIL/torchaudio on a real cluster) or fall back to a
 deterministic content-hash fake in test mode.
 
@@ -160,19 +161,22 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit grayscale/RGB/RGBA PNG -> luminance plane in
-    [0, 1] — pure numpy + stdlib zlib (no codec libraries).
+    """Non-interlaced 8-bit grayscale/RGB/RGBA/palette PNG -> luminance
+    plane in [0, 1] — pure numpy + stdlib zlib (no codec libraries).
 
-    IHDR/IDAT chunk walk, one inflate over the concatenated IDAT stream,
-    then per-scanline defiltering (filter types 0-4).  Sub (1) is a
-    per-channel prefix sum mod 256 (vectorized cumsum); Up (2) is a row
+    IHDR/PLTE/IDAT chunk walk, one inflate over the concatenated IDAT
+    stream, then per-scanline defiltering (filter types 0-4).  Sub (1) is
+    a per-channel prefix sum mod 256 (vectorized cumsum); Up (2) is a row
     vector add; Average (3) and Paeth (4) are inherently sequential in x
-    and loop per PIXEL with bpp-wide numpy ops.  Interlaced, 16-bit, and
-    palette images raise NotImplementedError (strict-mode contract)."""
+    and loop per PIXEL with bpp-wide numpy ops.  Palette (color_type 3)
+    defilters the 1-byte index plane then gathers RGB through the PLTE
+    table (one fancy-index).  Interlaced and 16-bit images raise
+    NotImplementedError (strict-mode contract)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("png: bad signature")
     pos = 8
     ihdr: bytes | None = None
+    plte: bytes | None = None
     idat: list[bytes] = []
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
@@ -180,6 +184,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
         data = payload[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -190,13 +196,15 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 6):
         raise NotImplementedError(
-            f"png: only non-interlaced 8-bit gray/RGB/RGBA supported "
-            f"(depth={bit_depth}, color_type={color_type}, "
+            f"png: only non-interlaced 8-bit gray/RGB/RGBA/palette "
+            f"supported (depth={bit_depth}, color_type={color_type}, "
             f"interlace={interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("png: palette image missing a valid PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     stride = w * ch + 1
     if raw.size < stride * h:
@@ -244,9 +252,17 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"png: bad filter type {f}")
         out[y] = rec
         prev = rec
-    img = out.reshape(h, w, ch).astype(np.float64) / 255.0
-    if ch == 1:
-        return img[:, :, 0]
+    if color_type == 3:
+        # indexed: defiltered bytes are palette indices; gather RGB
+        table = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("png: palette index out of range")
+        img = table[idx].astype(np.float64) / 255.0
+    else:
+        img = out.reshape(h, w, ch).astype(np.float64) / 255.0
+        if ch == 1:
+            return img[:, :, 0]
     # RGB(A): BT.601 luminance; alpha ignored
     return (
         0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
@@ -524,12 +540,20 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    img: np.ndarray, filter_type: int = 0, palette: np.ndarray | None = None
+) -> bytes:
     """(H, W, 3|4) uint8 -> non-interlaced 8-bit PNG bytes with every
     scanline filtered as *filter_type* (0-4) — deterministic test/fixture
-    encoder exercising each defilter path of the real decoder."""
-    h, w, ch = img.shape
-    color_type = {3: 2, 4: 6}[ch]
+    encoder exercising each defilter path of the real decoder.  With
+    *palette* ((N, 3) uint8), *img* is an (H, W) index plane and the
+    output is a color_type-3 palette PNG (PLTE chunk)."""
+    if palette is not None:
+        h, w = img.shape
+        ch, color_type = 1, 3
+    else:
+        h, w, ch = img.shape
+        color_type = {3: 2, 4: 6}[ch]
     raw = img.reshape(h, w * ch).astype(np.int32)
     zeros = np.zeros(w * ch, np.int32)
     lines = []
@@ -567,9 +591,15 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + bytes([8, color_type, 0, 0, 0])
     )
+    plte = (
+        chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + chunk(b"IEND", b"")
     )

@@ -157,6 +157,8 @@ def run_pipeline(
     stage_dir: str | None = None,
     session_meta: DataFrame | None = None,
     corrections: DataFrame | None = None,
+    reconciled: DataFrame | None = None,
+    agent_transcripts: DataFrame | None = None,
 ) -> PipelineResult:
     """If *stage_dir* is set, the enriched frame is materialized there as
     parquet and re-read — the stage-table pattern a cluster pipeline uses
@@ -220,10 +222,29 @@ def run_pipeline(
     # as a first-class sink so its cost is part of every pipeline bench
     sinks["chain_tape"] = chain_hashes(enriched)
     # the span-links dataflow graph (emits/feeds/compaction-seam/verdict);
-    # rejoin links need the subagent side inputs (operators/links.py)
-    sinks["link_tape"] = link_tape(
+    # with the J6 reconcile side-inputs the sink is the FULL union — every
+    # declared LINK_KIND (rejoin + orphan-thread included) reaches the
+    # tape without caller composition (links.py full_link_tape)
+    in_conv = link_tape(
         enriched, tool_tape, sinks.get("verdict_attachments")
     )
+    if reconciled is not None:
+        from tapes_spark.operators.links import (
+            full_link_tape,
+            orphan_thread_links,
+            rejoin_links,
+        )
+
+        rejoins = (
+            rejoin_links(reconciled, agent_transcripts, tool_tape)
+            if agent_transcripts is not None
+            else None
+        )
+        sinks["link_tape"] = full_link_tape(
+            in_conv, rejoins, orphan_thread_links(reconciled)
+        )
+    else:
+        sinks["link_tape"] = in_conv
 
     result = PipelineResult(enriched=enriched, sinks=sinks)
     result.metrics["quarantined_rows"] = quarantined  # lazily counted by caller

@@ -67,12 +67,20 @@ def sse_events(
     df: DataFrame,
     sse_col: str = "sse",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    keep_dataonly: bool = False,
 ) -> DataFrame:
     """Wire text -> (keys..., event_idx, event_type, data_json), one row
     per SSE event.  Events are blank-line-separated blocks of
     ``event: <type>`` / ``data: <json>`` lines; JSON string escaping
     guarantees a data line never contains a literal newline, so the
-    block split is exact.  All native expressions (codegen)."""
+    block split is exact.  All native expressions (codegen).
+
+    *keep_dataonly* also keeps blocks that carry a ``data:`` line with no
+    ``event:`` field name — the OpenAI Responses path needs it (the
+    chatgpt.com/codex backend emits data-only SSE frames; the reference
+    sniffs for either field name, openai_responses.go:62-79); the event
+    type is then recovered from the payload's own ``type`` field by the
+    reducer."""
     block = F.split(F.col(sse_col), r"\n\n")
     out = (
         df.select(
@@ -87,10 +95,11 @@ def sse_events(
             "data_json",
             F.regexp_extract("raw_event", r"(?m)^data:\s*(.*)$", 1),
         )
-        .filter(F.col("event_type") != "")
-        .drop("raw_event")
     )
-    return out
+    keep = F.col("event_type") != ""
+    if keep_dataonly:
+        keep = keep | (F.col("data_json") != "")
+    return out.filter(keep).drop("raw_event")
 
 
 def reduce_sse(
@@ -319,6 +328,258 @@ def reduce_sse(
     )
 
 
+# --------------------------------------------------------------- OpenAI
+
+# The Responses output-item union (message / function_call / reasoning —
+# hosted-tool items parse their `type` and keep the other fields null,
+# the forward-compatible default arm).  Shared by the terminal Response
+# object, the accumulated output_item.done frames, and the one-shot form.
+_RESPONSES_ITEM_DDL = (
+    "struct<type:string,role:string,"
+    "content:array<struct<type:string,text:string,refusal:string>>,"
+    "call_id:string,name:string,arguments:string,"
+    "summary:array<struct<type:string,text:string>>,"
+    "encrypted_content:string>"
+)
+_RESPONSES_OBJECT_DDL = (
+    "struct<id:string,object:string,created_at:bigint,status:string,"
+    f"model:string,output:array<{_RESPONSES_ITEM_DDL}>,"
+    "usage:struct<input_tokens:bigint,output_tokens:bigint,"
+    "total_tokens:bigint,"
+    "input_tokens_details:struct<cached_tokens:bigint>>,"
+    "incomplete_details:struct<reason:string>>"
+)
+
+OPENAI_TERMINAL_EVENTS = (
+    "response.completed",
+    "response.incomplete",
+    "response.failed",
+)
+
+
+def _responses_stop_reason(resp) -> F.Column:
+    """Status -> canonical stop-reason vocabulary (the reference's
+    responsesStopReason, openai_responses.go:340-352): completed turns
+    say "stop", incomplete turns surface the API's own reason, anything
+    else carries the status verbatim."""
+    return (
+        F.when(resp["status"] == "completed", F.lit("stop"))
+        .when(
+            resp["status"] == "incomplete",
+            F.coalesce(
+                F.nullif(resp["incomplete_details"]["reason"], F.lit("")),
+                F.lit("incomplete"),
+            ),
+        )
+        .otherwise(resp["status"])
+    )
+
+
+def _responses_text(items) -> F.Column:
+    """Concatenated output_text parts of message items, in item order —
+    the text half of responsesOutputContent (openai_responses.go:243-258)."""
+    return F.array_join(
+        F.flatten(
+            F.transform(
+                F.filter(items, lambda i: i["type"] == "message"),
+                lambda i: F.transform(
+                    F.filter(
+                        F.coalesce(
+                            i["content"],
+                            F.array().cast(
+                                "array<struct<type:string,text:string,"
+                                "refusal:string>>"
+                            ),
+                        ),
+                        lambda c: c["type"] == "output_text",
+                    ),
+                    lambda c: F.coalesce(c["text"], F.lit("")),
+                ),
+            )
+        ),
+        "",
+    )
+
+
+def _responses_tools(items) -> F.Column:
+    """function_call items -> ordered (name, input_json) structs — the
+    tool_use mapping of responsesOutputContent (openai_responses.go:259-275;
+    arguments arrive as a complete JSON string, not deltas)."""
+    return F.transform(
+        F.filter(items, lambda i: i["type"] == "function_call"),
+        lambda i: F.struct(
+            i["name"].alias("name"), i["arguments"].alias("input_json")
+        ),
+    )
+
+
+def reduce_sse_openai(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """The P4 OpenAI Responses reducer (reference
+    pkg/capture/openai_responses.go:27-36,106-170), same native-fold
+    machinery as :func:`reduce_sse` with the Responses event vocabulary:
+
+      * the terminal ``response.completed/incomplete/failed`` event
+        carries the COMPLETE Response object — the happy path maps that
+        single payload, no delta replay;
+      * ``response.output_item.done`` items accumulate in event order —
+        the terminal event's output array is EMPTY on the codex backend,
+        so accumulated items are the record there;
+      * ``response.output_text.delta`` text accumulates as last-line
+        salvage for a stream torn down mid-item (``partial`` = true,
+        ``reducer_error`` says why — the reference's partialResponse).
+
+    Event types are recovered from the payload's ``type`` field when the
+    frame had no ``event:`` line (data-only SSE; feed events from
+    ``sse_events(..., keep_dataonly=True)``).  Output schema matches
+    :func:`reduce_sse` (so :func:`sse_to_transcripts` takes either) plus
+    ``partial``/``reducer_error``."""
+    keys = [c for c in events.columns if c in key_cols]
+    env_ddl = (
+        f"type string, delta string, item {_RESPONSES_ITEM_DDL}, "
+        f"response {_RESPONSES_OBJECT_DDL}"
+    )
+    j = F.from_json(F.col("data_json"), env_ddl)
+    e = events.select(
+        *keys,
+        "event_idx",
+        # data-only frames: the envelope's own type field IS the event type
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("")), j["type"]).alias(
+            "etype"
+        ),
+        j["delta"].alias("delta"),
+        j["item"].alias("item"),
+        j["response"].alias("resp"),
+    )
+    etype = F.col("etype")
+    per_turn = e.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        # LAST terminal event wins (max over event_idx-led struct)
+        F.max(
+            F.when(
+                etype.isin(*OPENAI_TERMINAL_EVENTS) & F.col("resp").isNotNull(),
+                F.struct("event_idx", "resp"),
+            )
+        )["resp"].alias("terminal"),
+        F.max(
+            F.when(etype.isin(*OPENAI_TERMINAL_EVENTS), F.col("etype"))
+        ).alias("terminal_etype"),
+        F.min(
+            F.when(etype == "response.created", F.struct("event_idx", "resp"))
+        )["resp"].alias("created"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        (etype == "response.output_item.done")
+                        & F.col("item").isNotNull(),
+                        F.struct("event_idx", "item"),
+                    )
+                )
+            ),
+            lambda s: s["item"],
+        ).alias("done_items"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            etype == "response.output_text.delta",
+                            F.struct(
+                                F.col("event_idx").alias("i"),
+                                F.coalesce(F.col("delta"), F.lit("")).alias(
+                                    "t"
+                                ),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "",
+        ).alias("delta_text"),
+    )
+    terminal = F.col("terminal")
+    has_terminal = terminal.isNotNull()
+    # codex backend: terminal event with an EMPTY output array -> the
+    # accumulated output_item.done items are the only complete record
+    items = F.when(
+        has_terminal & (F.size(F.coalesce(terminal["output"], F.array())) > 0),
+        terminal["output"],
+    ).otherwise(F.col("done_items"))
+    text = F.when(
+        has_terminal | (F.size(F.col("done_items")) > 0),
+        _responses_text(items),
+    ).otherwise(F.col("delta_text"))
+    tools = _responses_tools(items)
+    tool0 = F.try_element_at(tools, F.lit(1))
+    # prompt tokens: Responses usage.input_tokens already INCLUDES cached
+    # tokens (input_tokens_details.cached_tokens is a breakdown, not an
+    # addend — unlike Anthropic's cache_*_input_tokens)
+    return per_turn.select(
+        *keys,
+        F.coalesce(terminal["model"], F.col("created")["model"]).alias(
+            "model"
+        ),
+        F.lit("assistant").alias("role"),
+        F.when(has_terminal, _responses_stop_reason(terminal)).alias(
+            "stop_reason"
+        ),
+        F.coalesce(text, F.lit("")).alias("text"),
+        tool0["name"].alias("tool_name"),
+        tool0["input_json"].alias("tool_input_json"),
+        tools.alias("tool_blocks"),
+        terminal["usage"]["input_tokens"].cast("long").alias("input_tokens"),
+        terminal["usage"]["output_tokens"].cast("long").alias(
+            "output_tokens"
+        ),
+        "n_events",
+        (~has_terminal).alias("partial"),
+        F.when(
+            ~has_terminal,
+            F.lit("stream ended before terminal response event"),
+        ).alias("reducer_error"),
+    )
+
+
+def reduce_responses_oneshot(
+    df: DataFrame,
+    json_col: str = "body",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """The one-shot (non-streamed) Responses form — one full Response
+    JSON per row (openai_responses.go:83-99: same mapping as the
+    terminal event, no fold at all)."""
+    keys = [c for c in df.columns if c in key_cols]
+    resp = F.from_json(F.col(json_col), _RESPONSES_OBJECT_DDL)
+    out = df.select(*keys, resp.alias("resp")).filter(
+        F.col("resp")["object"] == "response"
+    )
+    r = F.col("resp")
+    items = F.coalesce(
+        r["output"], F.array().cast(f"array<{_RESPONSES_ITEM_DDL}>")
+    )
+    tools = _responses_tools(items)
+    tool0 = F.try_element_at(tools, F.lit(1))
+    return out.select(
+        *keys,
+        r["model"].alias("model"),
+        F.lit("assistant").alias("role"),
+        _responses_stop_reason(r).alias("stop_reason"),
+        F.coalesce(_responses_text(items), F.lit("")).alias("text"),
+        tool0["name"].alias("tool_name"),
+        tool0["input_json"].alias("tool_input_json"),
+        tools.alias("tool_blocks"),
+        r["usage"]["input_tokens"].cast("long").alias("input_tokens"),
+        r["usage"]["output_tokens"].cast("long").alias("output_tokens"),
+        F.lit(1).cast("long").alias("n_events"),
+        F.lit(False).alias("partial"),
+        F.lit(None).cast("string").alias("reducer_error"),
+    )
+
+
 def sse_to_transcripts(reduced: DataFrame) -> DataFrame:
     """Reduced messages in the transcript schema (conv_id, turn_idx,
     role, text, tool, ts) — the backfill bridge into run_pipeline.  ts is
@@ -402,6 +663,126 @@ def encode_sse_message(
         f"event: {t}\ndata: {json.dumps(d, ensure_ascii=False)}\n\n"
         for t, d in events
     )
+
+
+def encode_responses_sse(
+    text: str,
+    msg_id: str,
+    model: str = "model-r",
+    seed: int = 42,
+    input_tokens: int = 100,
+    codex_style: bool = False,
+    truncate_after_deltas: bool = False,
+    tool: tuple[str, str] | None = None,
+    status: str = "completed",
+    incomplete_reason: str | None = None,
+) -> str:
+    """A deterministic OpenAI-Responses-shaped SSE stream for *text* —
+    the fixture encoder for the P4 reducer gates.  *codex_style* sends
+    the terminal event with an EMPTY output array (the chatgpt.com/codex
+    backend shape — accumulated output_item.done frames are the record);
+    *truncate_after_deltas* tears the stream down before any item or
+    terminal event (the partial-salvage path); *tool* adds a
+    function_call output item (name, arguments_json)."""
+    rng = random.Random(seed)
+    message_item = {
+        "type": "message",
+        "role": "assistant",
+        "content": [{"type": "output_text", "text": text}],
+    }
+    output = [message_item]
+    if tool is not None:
+        output.append(
+            {"type": "function_call", "call_id": "call_1",
+             "name": tool[0], "arguments": tool[1]}
+        )
+    events: list[dict] = [
+        {
+            "type": "response.created",
+            "response": {"id": msg_id, "object": "response",
+                         "created_at": 1700000000, "status": "in_progress",
+                         "model": model, "output": []},
+        }
+    ]
+    pos = 0
+    while pos < len(text):
+        n = rng.randint(1, 9)
+        events.append(
+            {"type": "response.output_text.delta",
+             "delta": text[pos : pos + n]}
+        )
+        pos += n
+    if not truncate_after_deltas:
+        for item in output:
+            events.append({"type": "response.output_item.done", "item": item})
+        resp = {
+            "id": msg_id,
+            "object": "response",
+            "created_at": 1700000000,
+            "status": status,
+            "model": model,
+            "output": [] if codex_style else output,
+            "usage": {
+                "input_tokens": input_tokens,
+                "output_tokens": max(1, len(text) // 4),
+                "total_tokens": input_tokens + max(1, len(text) // 4),
+                "input_tokens_details": {"cached_tokens": 0},
+            },
+        }
+        if incomplete_reason is not None:
+            resp["incomplete_details"] = {"reason": incomplete_reason}
+        events.append({"type": f"response.{status}", "response": resp})
+    # the Responses wire writes `event: <type>` lines on api.openai.com
+    # but DATA-ONLY frames on the codex backend — encode both shapes
+    if codex_style:
+        return "".join(
+            f"data: {json.dumps(d, ensure_ascii=False)}\n\n" for d in events
+        )
+    return "".join(
+        f"event: {d['type']}\ndata: {json.dumps(d, ensure_ascii=False)}\n\n"
+        for d in events
+    )
+
+
+def make_responses_recordings(
+    texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(conv_id, turn_idx, sse) Responses-shaped wire recordings for a
+    table of texts — the P4 analog of :func:`make_sse_recordings`,
+    produced distributed via mapInPandas."""
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField("sse", StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sses = [
+                encode_responses_sse(
+                    str(t) if t is not None else "",
+                    msg_id=f"resp_{i}",
+                    seed=seed * 1_000_003 + int(i),
+                    # alternate the codex data-only/empty-terminal shape
+                    # so both reduction arms stay under the byte gate
+                    codex_style=bool(int(i) % 2),
+                )
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "conv_id": [f"sse-{i}" for i in pdf[id_col]],
+                    "turn_idx": [0] * len(pdf),
+                    "sse": sses,
+                }
+            )
+
+    return texts.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def make_sse_recordings(

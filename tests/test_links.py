@@ -185,6 +185,67 @@ class TestFullLinkTape:
         assert lt.filter(F.col("agent_id").isNotNull()).count() == 0
 
 
+class TestPipelineFullLinkSink:
+    def test_reconcile_inputs_reach_the_sink(self, spark, transcripts):
+        """With the J6 reconcile side-inputs passed to run_pipeline, the
+        link sink must be the FULL union: a rejoin row and an
+        orphan-thread row land in sinks['link_tape'] with no caller
+        composition."""
+        from tapes_spark.dims import tool_dim
+        from tapes_spark.operators.reconcile import reconcile_transcripts
+        from tapes_spark.operators.route import tool_tape as build_tool_tape
+        from tapes_spark.pipeline import build_enriched, run_pipeline
+
+        enriched, _ = build_enriched(spark, transcripts)
+        tt = build_tool_tape(enriched, tool_dim(spark))
+        conv = sorted(
+            r["conv_id"]
+            for r in tt.filter(F.col("is_task_tool"))
+            .select("conv_id").distinct().collect()
+        )[0]
+        first_task_idx = (
+            tt.filter(F.col("is_task_tool") & (F.col("conv_id") == conv))
+            .agg(F.min("turn_idx")).collect()[0][0]
+        )
+        child = (
+            transcripts.filter(
+                (F.col("conv_id") == conv)
+                & (F.col("turn_idx") > first_task_idx)
+            )
+            .withColumn("agent_id", F.lit("agent-A"))
+            .withColumn("claimed_conv_id", F.lit(conv))
+            .drop("conv_id")
+        )
+        alien = spark.createDataFrame(
+            [("agent-x", 0, "user", "matches nothing zzz", "", None, None)],
+            "agent_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp, claimed_conv_id string",
+        )
+        agents = child.unionByName(alien)
+        rec = reconcile_transcripts(transcripts, agents)
+        res = run_pipeline(
+            spark, transcripts, persist=False,
+            reconciled=rec, agent_transcripts=agents,
+        )
+        lt = res.sinks["link_tape"]
+        by_kind = {
+            r["kind"]: r["count"]
+            for r in lt.groupBy("kind").count().collect()
+        }
+        assert by_kind.get("rejoin") == 1
+        assert by_kind.get("orphan-thread") == 1
+        assert (
+            lt.filter(F.col("kind") == "rejoin").first()["agent_id"]
+            == "agent-A"
+        )
+        assert (
+            lt.filter(F.col("kind") == "orphan-thread").first()["agent_id"]
+            == "agent-x"
+        )
+        # ids stay unique across the whole union
+        assert lt.select("link_id").distinct().count() == lt.count()
+
+
 class TestRejoin:
     def test_rejoin_to_task_span(self, spark, transcripts):
         """A reconciled subagent links to the latest Task-category call at

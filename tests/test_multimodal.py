@@ -134,11 +134,51 @@ class TestRealCodecs:
         rgba = rng.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
         got = mm._decode_png(mm.encode_png(rgba, filter_type=4))
         assert got.shape == (6, 5)  # alpha ignored, luminance plane
-        # 16-bit / interlaced / palette stay strict-mode stubs
+        # 16-bit / interlaced stay strict-mode stubs
         good = bytearray(mm.encode_png(rgba))
         bad_depth = bytes(good[:24]) + b"\x10" + bytes(good[25:])
         with _pytest.raises(NotImplementedError):
             mm._decode_png(bad_depth)
+
+    def test_png_palette_roundtrip_every_filter(self):
+        """color_type-3 (indexed) PNG: the defiltered index plane gathers
+        RGB through the PLTE table — exact per-filter round-trip, same
+        contract as the direct-color paths."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        palette = rng.randint(0, 256, size=(17, 3), dtype=np.uint8)
+        idx = rng.randint(0, 17, size=(9, 14), dtype=np.uint8)
+        rgb = palette[idx]
+        want = (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]
+        ) / 255.0
+        for f in range(5):
+            got = mm._decode_png(
+                mm.encode_png(idx, filter_type=f, palette=palette)
+            )
+            assert np.allclose(got, want, atol=1e-9), f"filter {f}"
+
+    def test_png_palette_guards(self):
+        import numpy as np
+        import pytest as _pytest
+
+        palette = np.array([[1, 2, 3]], dtype=np.uint8)
+        idx = np.zeros((3, 3), dtype=np.uint8)
+        png = bytearray(mm.encode_png(idx, palette=palette))
+        # strip the PLTE chunk -> must refuse, not decode garbage
+        plte_at = bytes(png).find(b"PLTE") - 4
+        plte_len = int.from_bytes(png[plte_at : plte_at + 4], "big")
+        no_plte = bytes(png[:plte_at]) + bytes(png[plte_at + 12 + plte_len:])
+        with _pytest.raises(ValueError, match="PLTE"):
+            mm._decode_png(no_plte)
+        # out-of-range index -> explicit error, not a numpy wrap-around
+        oob = mm.encode_png(
+            np.full((2, 2), 5, dtype=np.uint8), palette=palette
+        )
+        with _pytest.raises(ValueError, match="index out of range"):
+            mm._decode_png(oob)
 
 
 class TestPoisonedEmbeds:

@@ -9,9 +9,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from tapes_spark.sources.sse import (
+    encode_responses_sse,
     encode_sse_message,
+    make_responses_recordings,
     make_sse_recordings,
+    reduce_responses_oneshot,
     reduce_sse,
+    reduce_sse_openai,
     sse_events,
     sse_to_transcripts,
 )
@@ -187,6 +191,138 @@ class TestFoldSemantics:
         )
         plan = sse_events(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestOpenAIResponsesReducer:
+    """P4: the Responses event vocabulary (reference
+    pkg/capture/openai_responses.go:27-36,106-170) — terminal-event happy
+    path, codex empty-terminal accumulation, torn-stream salvage."""
+
+    def _reduce(self, spark, sse: str):
+        df = spark.createDataFrame(
+            [("c", 0, sse)], "conv_id string, turn_idx int, sse string"
+        )
+        return reduce_sse_openai(
+            sse_events(df, keep_dataonly=True)
+        ).collect()[0]
+
+    def test_roundtrip_over_documents(self, spark, docs):
+        """Byte equality over the corpus for BOTH wire shapes (the
+        generator alternates api-style event-lines/full-terminal with
+        codex-style data-only/empty-terminal per doc id)."""
+        reduced = reduce_sse_openai(
+            sse_events(make_responses_recordings(docs), keep_dataonly=True)
+        ).withColumn(
+            "doc_id", F.substring("conv_id", 5, 100).cast("long")
+        )
+        joined = reduced.join(
+            docs.select("doc_id", F.col("text").alias("want")), "doc_id"
+        )
+        assert joined.count() == docs.count()
+        assert (
+            joined.filter(~F.col("text").eqNullSafe(F.col("want"))).count()
+            == 0
+        )
+        assert joined.filter(F.col("partial")).count() == 0
+
+    def test_terminal_event_is_the_record(self, spark):
+        """The terminal response's output wins over deltas: text comes
+        from the full Response object, stop_reason maps completed->stop."""
+        row = self._reduce(
+            spark, encode_responses_sse("hello responses", "r1",
+                                        input_tokens=9)
+        )
+        assert row["text"] == "hello responses"
+        assert row["model"] == "model-r" and row["role"] == "assistant"
+        assert row["stop_reason"] == "stop"
+        assert row["input_tokens"] == 9 and row["output_tokens"] >= 1
+        assert row["partial"] is False and row["reducer_error"] is None
+
+    def test_codex_empty_terminal_uses_accumulated_items(self, spark):
+        """codex backend: data-only frames + terminal with an EMPTY
+        output array — the accumulated output_item.done items are the
+        only complete record (openai_responses.go:113-117)."""
+        row = self._reduce(
+            spark,
+            encode_responses_sse("from items", "r2", codex_style=True),
+        )
+        assert row["text"] == "from items"
+        assert row["stop_reason"] == "stop" and row["partial"] is False
+
+    def test_torn_stream_salvages_delta_text(self, spark):
+        """No terminal event and no done items: loose text deltas are the
+        salvage, the turn is flagged partial (partialResponse)."""
+        row = self._reduce(
+            spark,
+            encode_responses_sse(
+                "torn mid stream", "r3", truncate_after_deltas=True
+            ),
+        )
+        assert row["text"] == "torn mid stream"
+        assert row["partial"] is True
+        assert "terminal" in row["reducer_error"]
+        assert row["stop_reason"] is None
+        # model still recovered from response.created
+        assert row["model"] == "model-r"
+
+    def test_function_call_items_map_to_tools(self, spark):
+        row = self._reduce(
+            spark,
+            encode_responses_sse(
+                "calling a tool", "r4", tool=("get_weather", '{"city":"SF"}')
+            ),
+        )
+        assert row["tool_name"] == "get_weather"
+        assert row["tool_input_json"] == '{"city":"SF"}'
+        assert [(b["name"], b["input_json"]) for b in row["tool_blocks"]] == [
+            ("get_weather", '{"city":"SF"}')
+        ]
+
+    def test_incomplete_surfaces_api_reason(self, spark):
+        row = self._reduce(
+            spark,
+            encode_responses_sse(
+                "cut off", "r5", status="incomplete",
+                incomplete_reason="max_output_tokens",
+            ),
+        )
+        assert row["stop_reason"] == "max_output_tokens"
+        assert row["partial"] is False
+
+    def test_oneshot_form_same_mapping(self, spark):
+        import json as _json
+
+        body = _json.dumps({
+            "id": "r6", "object": "response", "created_at": 1700000000,
+            "status": "completed", "model": "model-r",
+            "output": [{"type": "message", "role": "assistant",
+                        "content": [{"type": "output_text",
+                                     "text": "one shot"}]}],
+            "usage": {"input_tokens": 3, "output_tokens": 2,
+                      "total_tokens": 5},
+        })
+        df = spark.createDataFrame(
+            [("c", 0, body)], "conv_id string, turn_idx int, body string"
+        )
+        row = reduce_responses_oneshot(df).collect()[0]
+        assert row["text"] == "one shot"
+        assert row["stop_reason"] == "stop"
+        assert row["input_tokens"] == 3 and row["output_tokens"] == 2
+
+    def test_feeds_transcript_bridge(self, spark):
+        df = spark.createDataFrame(
+            [(0, "bridged reply")], "doc_id long, text string"
+        )
+        tx = sse_to_transcripts(
+            reduce_sse_openai(
+                sse_events(
+                    make_responses_recordings(df), keep_dataonly=True
+                )
+            )
+        )
+        rows = tx.collect()
+        assert len(rows) == 1 and rows[0]["text"] == "bridged reply"
+        assert rows[0]["role"] == "assistant"
 
 
 class TestBackfillBridge:
