@@ -9,6 +9,15 @@ Scaling measurement protocol (the north-rule number):
 
   * One PERSISTENT child process per level (its own SparkSession + JIT
     warmup on a 1/8 conv subset), driven over stdin/stdout.
+  * Each scaling child is PINNED (taskset) to exactly N host CPUs, on
+    DISJOINT cpusets per level.  Unpinned, a "local[1]" JVM leaks onto
+    extra host cores — parallel GC/JIT threads, parquet compression,
+    Arrow python workers, the concurrent sink-materialization thread
+    pool — overstating the lo leg's throughput and deflating measured
+    efficiency (r4 driver artifact: pipeline 0.551 vs 0.972 for a pure
+    scan control that has none of those side threads).  Pinning makes
+    "N cores" mean what it means on a real N-core executor node.
+    BENCH_PIN=0 restores the unpinned protocol.
   * The N and 4N legs run INTERLEAVED — lo_1, hi_1, lo_2, hi_2, ... —
     so each (lo_i, hi_i) pair executes back-to-back in time and a host
     throughput drift hits both legs of a pair in the same phase.  The
@@ -73,6 +82,10 @@ SCALE_MEAS = int(os.environ.get("BENCH_SCALE_MEAS", "3"))
 # BENCH_FAST=1 skips the scaling pairs (the slow 1-core legs) and
 # reports only peak throughput + per-query timings — for time-boxed runs
 FAST = os.environ.get("BENCH_FAST", "") == "1"
+# BENCH_PIN=0 disables taskset CPU pinning of the scaling-pair children
+_PIN = os.environ.get("BENCH_PIN", "1") == "1" and bool(
+    __import__("shutil").which("taskset")
+)
 
 _CHILD_SNIPPET = """
 import sys, time, json, shutil
@@ -107,14 +120,21 @@ for line in sys.stdin:
         res = run_pipeline(spark, tx, stage_dir=stage)
         materialize_sinks(res)
         print("DONE " + json.dumps({{"wall": time.time() - t0}}), flush=True)
-    elif cmd == "CTL":
+    elif cmd.startswith("CTL"):
         # plan-free host-ceiling control: pure data movement at this
-        # thread count — the upper bound ANY plan can scale at here
+        # thread count — the upper bound ANY plan can scale at here.
+        # "CTL <k>" iterates k back-to-back so the control's wall is
+        # comparable to the pipeline leg it runs next to (a 7s burst
+        # samples a different host-noise regime than a 200-500s leg);
+        # the reported wall is PER ITERATION.
+        k = int(cmd.split()[1]) if " " in cmd else 1
         shutil.rmtree(stage + "_ctl", ignore_errors=True)
         t0 = time.time()
-        tx.repartition({cores}, "conv_id").write.mode("overwrite").parquet(
-            stage + "_ctl")
-        print("DONE " + json.dumps({{"wall": time.time() - t0}}), flush=True)
+        for _i in range(k):
+            tx.repartition({cores}, "conv_id").write.mode(
+                "overwrite").parquet(stage + "_ctl")
+        print("DONE " + json.dumps(
+            {{"wall": (time.time() - t0) / k}}), flush=True)
 shutil.rmtree(stage, ignore_errors=True)
 shutil.rmtree(stage + "_ctl", ignore_errors=True)
 """
@@ -126,15 +146,26 @@ class _BenchChild:
     scaling pair can interleave without paying session+warmup per
     measurement."""
 
-    def __init__(self, cores: int, path: str):
+    def __init__(self, cores: int, path: str, cpuset: str | None = None):
         self.cores = cores
         code = _CHILD_SNIPPET.format(repo=REPO, cores=cores, path=path)
         self.err = tempfile.NamedTemporaryFile(
             mode="w+", prefix=f"bench_child_{cores}_", suffix=".log",
             delete=False,
         )
+        argv = [sys.executable, "-c", code]
+        if cpuset is not None and _PIN:
+            # pin the whole process tree (JVM + python workers) to exactly
+            # `cores` host CPUs: unpinned, a "local[1]" leg leaks onto
+            # extra cores (GC/JIT/compression threads, Arrow python
+            # workers, concurrent sink planning), overstating the lo leg's
+            # throughput — event-log profiling showed task-slot busy ~=
+            # wall at local[1] while the PROCESS used >1 core.  Pinning
+            # makes "N cores" mean N cores, the same way a real N-core
+            # executor node would bound it.
+            argv = ["taskset", "-c", cpuset] + argv
         self.proc = subprocess.Popen(
-            [sys.executable, "-c", code],
+            argv,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=self.err, text=True, bufsize=1,
         )
@@ -257,9 +288,21 @@ def _bench_table(n_convs: int) -> str:
     return path
 
 
+# control iteration counts per level: enough back-to-back scan->
+# repartition->write passes that each control wall lands in the same
+# noise regime its pipeline leg runs in (the r4 driver artifact's 7s
+# bursts recorded a physically nonsensical 1.29 "scaling" while the legs
+# ran 200-560s walls — short bursts sample a different host phase)
+_CTL_ITERS_LO = int(os.environ.get("BENCH_CTL_ITERS_LO", "3"))
+_CTL_ITERS_HI = int(os.environ.get("BENCH_CTL_ITERS_HI", "10"))
+
+
 def _pair_interleaved(n_lo: int, n_hi: int, n_meas: int, path: str) -> dict:
-    lo = _BenchChild(n_lo, path)
-    hi = _BenchChild(n_hi, path)
+    # disjoint cpusets: the idle child's JVM background threads never
+    # share a core with the measuring child, and the concurrent warmups
+    # don't contend
+    lo = _BenchChild(n_lo, path, cpuset=f"0-{n_lo - 1}" if n_lo > 1 else "0")
+    hi = _BenchChild(n_hi, path, cpuset=f"{n_lo}-{n_lo + n_hi - 1}")
     try:
         # warmups overlap (both children build + warm concurrently)
         lo_ready = lo.wait_ready()
@@ -267,31 +310,43 @@ def _pair_interleaved(n_lo: int, n_hi: int, n_meas: int, path: str) -> dict:
         ratio = n_hi / n_lo
         walls_lo: list[float] = []
         walls_hi: list[float] = []
+        ctl_lo_walls: list[float] = []
+        ctl_hi_walls: list[float] = []
         pair_effs: list[float] = []
+        pair_ctl_effs: list[float] = []
         for _ in range(n_meas):
+            # legs AND their control run back-to-back INSIDE the pair —
+            # lo-pipe, lo-ctl, hi-pipe, hi-ctl — so the plan-free control
+            # samples the same minutes as the legs it explains, at a
+            # comparable wall (iterated; per-iteration wall reported)
             wl = lo.run()["wall"]
+            cl = lo.run(f"CTL {_CTL_ITERS_LO}")["wall"]
             wh = hi.run()["wall"]
+            ch = hi.run(f"CTL {_CTL_ITERS_HI}")["wall"]
             walls_lo.append(wl)
             walls_hi.append(wh)
+            ctl_lo_walls.append(cl)
+            ctl_hi_walls.append(ch)
             pair_effs.append((wl / wh) / ratio)
-        # interleaved host-ceiling controls (2 pairs, min per level)
-        ctl_lo_walls, ctl_hi_walls = [], []
-        for _ in range(2):
-            ctl_lo_walls.append(lo.run("CTL")["wall"])
-            ctl_hi_walls.append(hi.run("CTL")["wall"])
-        ctl_lo, ctl_hi = min(ctl_lo_walls), min(ctl_hi_walls)
+            pair_ctl_effs.append((cl / ch) / ratio)
     finally:
         lo.close()
         hi.close()
     eff = _median(pair_effs)
     eff_mins = (min(walls_lo) / min(walls_hi)) / ratio
-    ctl_eff = (ctl_lo / ctl_hi) / ratio
+    ctl_eff = _median(pair_ctl_effs)
+    # per-pair plan-vs-ceiling, THEN median: a single bad host minute
+    # hits the pair's leg and control together and cancels in the ratio
+    eff_vs_ceiling = _median(
+        [e / c for e, c in zip(pair_effs, pair_ctl_effs) if c]
+    )
     turns = lo_ready["turns"]
     controls = _host_scaling_controls(n_lo, n_hi)
     return {
         **controls,
         "scale_n": n_lo,
         "scale_4n": n_hi,
+        "cpu_pinned": _PIN,
         "scale_turns": turns,
         "wall_sec_n": round(min(walls_lo), 3),
         "wall_sec_4n": round(min(walls_hi), 3),
@@ -303,11 +358,17 @@ def _pair_interleaved(n_lo: int, n_hi: int, n_meas: int, path: str) -> dict:
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "scaling_efficiency_ratio_of_mins": round(eff_mins, 3),
-        "host_ceiling_ctl_wall_n": round(ctl_lo, 2),
-        "host_ceiling_ctl_wall_4n": round(ctl_hi, 2),
+        "host_ceiling_ctl_wall_n": round(min(ctl_lo_walls), 2),
+        "host_ceiling_ctl_wall_4n": round(min(ctl_hi_walls), 2),
+        "host_ceiling_ctl_walls_n": [round(w, 1) for w in ctl_lo_walls],
+        "host_ceiling_ctl_walls_4n": [round(w, 1) for w in ctl_hi_walls],
+        "host_ceiling_ctl_iters": [_CTL_ITERS_LO, _CTL_ITERS_HI],
         "host_ceiling_efficiency": round(ctl_eff, 3),
-        "efficiency_vs_host_ceiling": round(eff / ctl_eff, 3)
-        if ctl_eff
+        "host_ceiling_pair_efficiencies": [
+            round(e, 3) for e in pair_ctl_effs
+        ],
+        "efficiency_vs_host_ceiling": round(eff_vs_ceiling, 3)
+        if pair_ctl_effs
         else None,
     }
 
@@ -328,8 +389,12 @@ def main() -> None:
             "secondary %d->%d = wider range, bus-limited).  The "
             "host_ceiling_* control (plan-free scan+repartition+write of "
             "the same input) bounds what ANY plan can scale at on this "
-            "VM's shared memory bus; efficiency_vs_host_ceiling isolates "
-            "what the PLAN adds on top.  host_membw_scaling / "
+            "VM's shared memory bus; it runs INSIDE each pair "
+            "(lo-pipe, lo-ctl, hi-pipe, hi-ctl), ITERATED so its wall "
+            "is leg-comparable (per-iteration wall reported), and "
+            "efficiency_vs_host_ceiling is the median of PER-PAIR "
+            "plan/ceiling ratios — a bad host minute hits a pair's leg "
+            "and control together and cancels.  host_membw_scaling / "
             "host_cpu_scaling are plan-free process-level controls at "
             "the same concurrency: per-process slowdown of a pure "
             "DRAM-streaming task (the ceiling for bandwidth-bound work "
@@ -383,40 +448,56 @@ def main() -> None:
             "spark.sql.files.openCostInBytes": "0",
         },
     )
-    for name, fn in entrymod.queries().items():
-        if name in ("jaccard_pairs", "cosine_dup_pairs", "minhash_lsh_pairs"):
-            # brute-force all-pairs ops are the sf0.01 ORACLES for the LSH
-            # paths, not scale queries — O(n^2) at sf0.1; and the driver's
-            # minhash query runs the 128-perm/32-band ORACLE-MARGIN config
-            # (P[miss]~5e-8, needed for exact-Jaccard equality at the
-            # correctness gate) — the production default below is benched
-            # instead
-            continue
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        dt = time.time() - t0
-        out["queries"][name] = round(dt, 3)
-        total += dt
-
     # production LSH configs (recall-gated by pytest on both corpora):
-    # minhash at 64 perms / 16 bands, embedding near-dup via hyperplane LSH
+    # minhash at 64 perms / 16 bands, embedding near-dup via hyperplane
+    # LSH — benched instead of the driver's oracle-margin configs
     from tapes_spark.operators.dedup import minhash_lsh_pairs
     from tapes_spark.operators.similarity import cosine_dup_pairs_lsh
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    minhash_lsh_pairs(docs, threshold=0.8).count()
-    dt = time.time() - t0
-    out["queries"]["minhash_lsh_pairs"] = round(dt, 3)
-    total += dt
-
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     dim = len(emb.first()["embedding"])
-    t0 = time.time()
-    cosine_dup_pairs_lsh(emb, dim, threshold=0.5).count()
-    dt = time.time() - t0
-    out["queries"]["cosine_dup_pairs_lsh"] = round(dt, 3)
-    total += dt
+
+    def _one_pass() -> dict[str, float]:
+        walls: dict[str, float] = {}
+        for name, fn in entrymod.queries().items():
+            if name in (
+                "jaccard_pairs", "cosine_dup_pairs", "minhash_lsh_pairs"
+            ):
+                # brute-force all-pairs ops are the sf0.01 ORACLES for
+                # the LSH paths, not scale queries — O(n^2) at sf0.1; and
+                # the driver's minhash query runs the 128-perm/32-band
+                # ORACLE-MARGIN config (P[miss]~5e-8, needed for
+                # exact-Jaccard equality at the correctness gate) — the
+                # production defaults below are benched instead
+                continue
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            walls[name] = time.time() - t0
+        t0 = time.time()
+        minhash_lsh_pairs(docs, threshold=0.8).count()
+        walls["minhash_lsh_pairs"] = time.time() - t0
+        t0 = time.time()
+        cosine_dup_pairs_lsh(emb, dim, threshold=0.5).count()
+        walls["cosine_dup_pairs_lsh"] = time.time() - t0
+        return walls
+
+    # pass 1 = the continuity numbers (comparable to every prior round);
+    # passes 2..N warm JIT/codegen/page cache and the artifact records
+    # the per-query MIN — the number BASELINE.md's claims cite
+    n_passes = int(os.environ.get("BENCH_WARM_PASSES", "3"))
+    first = _one_pass()
+    warm = {k: [v] for k, v in first.items()}
+    for _ in range(max(0, n_passes - 1)):
+        for k, v in _one_pass().items():
+            warm[k].append(v)
+    for name, v in first.items():
+        out["queries"][name] = round(v, 3)
+        total += v
+    out["queries_warm_min"] = {
+        k: round(min(vs), 3) for k, vs in warm.items()
+    }
+    out["queries_warm_passes"] = n_passes
     stop_spark()
 
     out["metric"] = "e2e_wall_sec_total"

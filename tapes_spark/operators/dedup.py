@@ -56,6 +56,22 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(n, "doc_id")
 
 
+def _spread_toks(docs: DataFrame, text_col: str) -> DataFrame:
+    """Fan out the RAW text, tokenize AFTER the exchange.
+
+    Projecting ``array_distinct(tokens_col(...))`` below ``_spread`` (the
+    round-4 shape) ran the split+dedup in the SCAN stage — whose
+    parallelism is bound by parquet file splits, not cores — and shuffled
+    the token arrays instead of one string per doc.  Keeping the
+    projection above the exchange runs tokenization at full parallelism
+    in the same stage as the Arrow hand-off (measured 13-16% wall
+    regression at sf0.1 the other way)."""
+    spread = _spread(docs.select("doc_id", text_col))
+    return spread.select(
+        "doc_id", _distinct_toks(text_col).alias("toks")
+    )
+
+
 # -------------------------------------------------------------- exact
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -286,10 +302,7 @@ def minhash_signatures(
                 {"doc_id": pdf["doc_id"].values, "signature": list(sig_mat)}
             )
 
-    toks = _distinct_toks(text_col)
-    return _spread(docs.select("doc_id", toks.alias("toks"))).mapInPandas(
-        compute, out_schema
-    )
+    return _spread_toks(docs, text_col).mapInPandas(compute, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -446,10 +459,7 @@ def simhash_signatures(
                 }
             )
 
-    toks = _distinct_toks(text_col)
-    return _spread(docs.select("doc_id", toks.alias("toks"))).mapInPandas(
-        compute, out_schema
-    )
+    return _spread_toks(docs, text_col).mapInPandas(compute, out_schema)
 
 
 def simhash_pairs(
