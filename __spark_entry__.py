@@ -796,6 +796,28 @@ LIMIT 10
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/ann_ivf.py: spherical k-means coarse quantizer
+    + probe filter + exact re-rank) run at nprobe == n_clusters, where
+    pruning is a no-op by construction — so the exact brute-force top-k
+    SQL is the oracle, while the query still drives the full distributed
+    train/assign/probe machinery.  Pruned-probe recall is pytest-gated
+    (tests/test_ann_ivf.py).  Reference analog: pkg/spanembed/store.go
+    HNSW index role."""
+    from tapes_spark.operators.ann_ivf import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_cosine_topk(
+        emb.filter(F.col("vec_id") != 0),
+        list(qvec),
+        k=10,
+        n_clusters=16,
+        nprobe=16,
+        n_iters=3,
+    )
+
+
 # --------------------------------------------------------------------------
 # spanembed: chunked embeddings with best-chunk-per-span collapse
 # (reference store.go:568-612: 4x over-fetch of nearest CHUNKS, then
@@ -1016,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "chunked_span_topk": q_chunked_span_topk,
         "quality_by_source": q_quality_by_source,
@@ -1048,6 +1071,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL,
         "lang_id": _lang_id_sql(),
         "cosine_topk": _COSINE_SQL,
+        # exhaustive-probe IVF prunes nothing -> exact top-k is the oracle
+        "ivf_topk": _COSINE_SQL,
         "cosine_dup_pairs": _COSINE_DUP_SQL,
         "chunked_span_topk": _CHUNKED_SQL,
         "quality_by_source": _quality_sql(),

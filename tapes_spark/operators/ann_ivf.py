@@ -1,0 +1,267 @@
+"""IVF (inverted-file) ANN over an embedding column — the second scale
+path next to hyperplane LSH (operators/similarity.py).
+
+Mirrors the role of the reference's pgvector HNSW index
+(pkg/spanembed/store.go:176-180): a coarse structure prunes the corpus
+before the exact re-rank.  Where LSH prunes by random sign-bit buckets,
+IVF prunes by a LEARNED partition: spherical k-means centroids, each
+vector assigned to its nearest centroid, a query probed against its
+``nprobe`` nearest centroids only.  On a skewed real corpus the learned
+cells track density (LSH cells don't), so IVF reaches the same recall
+with fewer candidates.
+
+Spark shape (everything distributed, nothing per-row Python):
+
+  * training — Lloyd iterations where each Arrow batch computes its
+    partial (cluster, count, sum_vec) via ONE numpy matmul; partials
+    posexplode to (cluster, pos, val) rows and a native groupBy sums
+    them, so only the k x dim centroid matrix ever reaches the driver
+    (bounded, by construction) — never the corpus;
+  * assignment — one matmul per batch (mapInPandas), id+cluster out;
+  * search — the query ranks centroids driver-side (k x dim, tiny),
+    candidates come from a `cluster IN probes` FILTER on the assignment
+    frame (partition-prunable; no join), exact cosine re-rank via the
+    shared brute_cosine_topk (TakeOrderedAndProject).
+
+Determinism: init picks the k corpus vectors with the smallest
+xxhash64(id) (a seeded, order-independent sample), iterations are fixed
+count, numpy argmax ties break low — the same corpus + seed always
+yields the same index, matching the tape-idempotence rule every other
+operator follows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from tapes_spark.operators.similarity import brute_cosine_topk
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _batch_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+
+
+def ivf_init_centroids(
+    embeddings: DataFrame,
+    n_clusters: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic k-seed sample: the k vectors whose xxhash64(seed, id)
+    is smallest.  Order-independent (a reshuffled corpus picks the same
+    seeds), collects exactly k rows (TakeOrderedAndProject)."""
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.lit(seed), F.col(id_col)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_clusters)
+        .collect()
+    )
+    return _normalized(
+        np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means centroids (n_clusters x dim, unit-norm rows).
+
+    Each Lloyd iteration is one distributed pass: per Arrow batch a
+    single matmul assigns rows to centroids and accumulates (count,
+    sum_vec) per cluster; the partials shuffle as (cluster, pos, val)
+    and a native sum folds them.  Driver traffic per iteration is the
+    k x dim centroid matrix only.  Empty clusters keep their previous
+    centroid (standard Lloyd fallback, deterministic).
+    """
+    centroids = ivf_init_centroids(
+        embeddings, n_clusters, seed, vec_col, id_col
+    )
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    vecs = embeddings.select(id_col, vec_col).repartition(n_parts, id_col)
+    partial_schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("pos", IntegerType()),
+            StructField("val", DoubleType()),
+            StructField("cnt", DoubleType()),
+        ]
+    )
+    for _ in range(n_iters):
+        ct = centroids.T.copy()  # (dim, k) — closure-captured broadcast
+        k = ct.shape[1]
+
+        def partials(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            # per-batch partial sums: (cluster, pos, val) + one cnt row
+            # per cluster (pos = -1) — k x (dim+1) rows per batch, never
+            # the batch itself
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _normalized(_batch_matrix(pdf, vec_col))
+                assign = np.argmax(mat @ ct, axis=1)
+                out_c, out_p, out_v, out_n = [], [], [], []
+                for c in np.unique(assign):
+                    members = mat[assign == c]
+                    s = members.sum(axis=0)
+                    dim = s.shape[0]
+                    out_c.extend([int(c)] * (dim + 1))
+                    out_p.extend(list(range(dim)) + [-1])
+                    out_v.extend(list(s) + [0.0])
+                    out_n.extend([0.0] * dim + [float(len(members))])
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.asarray(out_c, dtype=np.int32),
+                        "pos": np.asarray(out_p, dtype=np.int32),
+                        "val": np.asarray(out_v, dtype=np.float64),
+                        "cnt": np.asarray(out_n, dtype=np.float64),
+                    }
+                )
+
+        agg = (
+            vecs.mapInPandas(partials, partial_schema)
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("val"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.float64)
+        for r in agg:
+            if r["pos"] < 0:
+                counts[r["cluster"]] = r["cnt"]
+            else:
+                sums[r["cluster"], r["pos"]] = r["val"]
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = _normalized(sums[nonempty])
+    return centroids
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster) coarse-quantizer assignment — one matmul per batch.
+
+    This is the frame a persisted IVF index tape would store (the IVF
+    analog of ann_index.LshIndexTape's bucket codes); recomputed here for
+    the one-shot path.
+    """
+    ct = _normalized(np.asarray(centroids, dtype=np.float64)).T.copy()
+    out_schema = StructType(
+        [
+            StructField(id_col, embeddings.schema[id_col].dataType),
+            StructField("cluster", IntegerType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                mat = _normalized(_batch_matrix(pdf, vec_col))
+                cl = np.argmax(mat @ ct, axis=1).astype(np.int32)
+            else:
+                cl = np.empty(0, dtype=np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "cluster": cl})
+
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    return (
+        embeddings.select(id_col, vec_col)
+        .repartition(n_parts, id_col)  # single parquet file = single task
+        .mapInPandas(assign, out_schema)
+    )
+
+
+def probe_clusters(
+    query_vec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The query's nprobe nearest centroids (driver-side: k x dim is
+    tiny by construction).  Ties break by cluster id ascending."""
+    c = _normalized(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(query_vec, dtype=np.float64)
+    n = np.linalg.norm(q)
+    q = q / n if n else q
+    sims = c @ q
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: exact cosine re-rank over the vectors whose cluster is
+    among the query's nprobe nearest centroids.
+
+    Candidates come from a semi-join of the assignment frame against a
+    literal IN-list (no shuffle of the corpus; with assignments persisted
+    and the tape partitioned by cluster this is partition pruning), then
+    the shared brute_cosine_topk — a TakeOrderedAndProject, no global
+    sort.  Recall vs brute force is pytest-gated like the LSH path.
+    """
+    probes = probe_clusters(query_vec, centroids, nprobe)
+    assigned = ivf_assignments(embeddings, centroids, vec_col, id_col)
+    candidate_ids = assigned.filter(
+        F.col("cluster").isin([int(p) for p in probes])
+    ).select(id_col)
+    candidates = embeddings.join(candidate_ids, id_col, "left_semi")
+    return brute_cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-shot IVF ANN: train + assign + probe in a single call.
+
+    For repeated queries, train once (ivf_train), persist the
+    assignments, and call ivf_topk — training is the expensive part and
+    is deterministic for a given corpus + seed.
+    """
+    centroids = ivf_train(
+        embeddings, n_clusters, n_iters, seed, vec_col, id_col
+    )
+    return ivf_topk(
+        embeddings, query_vec, centroids, k, nprobe, vec_col, id_col
+    )

@@ -631,23 +631,28 @@ def encode_sse_message(
             },
         ),
     ]
+    parts = [
+        f"event: {t}\ndata: {json.dumps(d, ensure_ascii=False)}\n\n"
+        for t, d in events
+    ]
+    # the delta loop dominates the fixture's cost (one event per ~5 chars
+    # of corpus); emit it from a template that is byte-identical to
+    # json.dumps of the nested dict (default ", "/": " separators) but
+    # only pays the C string-escape per chunk, not a dict encode
     pos = 0
     while pos < len(text):
         n = rng.randint(1, 9)
-        events.append(
-            (
-                "content_block_delta",
-                {
-                    "type": "content_block_delta",
-                    "index": 0,
-                    "delta": {"type": "text_delta", "text": text[pos : pos + n]},
-                },
-            )
+        parts.append(
+            "event: content_block_delta\n"
+            'data: {"type": "content_block_delta", "index": 0, "delta": '
+            '{"type": "text_delta", "text": '
+            + json.dumps(text[pos : pos + n], ensure_ascii=False)
+            + "}}\n\n"
         )
         pos += n
         if rng.random() < 0.1:
-            events.append(("ping", {"type": "ping"}))
-    events += [
+            parts.append('event: ping\ndata: {"type": "ping"}\n\n')
+    tail: list[tuple[str, dict]] = [
         ("content_block_stop", {"type": "content_block_stop", "index": 0}),
         (
             "message_delta",
@@ -659,10 +664,11 @@ def encode_sse_message(
         ),
         ("message_stop", {"type": "message_stop"}),
     ]
-    return "".join(
+    parts += [
         f"event: {t}\ndata: {json.dumps(d, ensure_ascii=False)}\n\n"
-        for t, d in events
-    )
+        for t, d in tail
+    ]
+    return "".join(parts)
 
 
 def encode_responses_sse(
@@ -704,12 +710,16 @@ def encode_responses_sse(
                          "model": model, "output": []},
         }
     ]
+    # pre-serialized delta frames (see encode_sse_message: byte-identical
+    # to json.dumps of the dict, one string escape per chunk)
+    delta_frames: list[str] = []
     pos = 0
     while pos < len(text):
         n = rng.randint(1, 9)
-        events.append(
-            {"type": "response.output_text.delta",
-             "delta": text[pos : pos + n]}
+        delta_frames.append(
+            '{"type": "response.output_text.delta", "delta": '
+            + json.dumps(text[pos : pos + n], ensure_ascii=False)
+            + "}"
         )
         pos += n
     if not truncate_after_deltas:
@@ -733,14 +743,31 @@ def encode_responses_sse(
             resp["incomplete_details"] = {"reason": incomplete_reason}
         events.append({"type": f"response.{status}", "response": resp})
     # the Responses wire writes `event: <type>` lines on api.openai.com
-    # but DATA-ONLY frames on the codex backend — encode both shapes
+    # but DATA-ONLY frames on the codex backend — encode both shapes.
+    # events[0] is response.created; the pre-serialized delta frames sit
+    # between it and the item/terminal events appended above.
+    head, rest = events[:1], events[1:]
     if codex_style:
         return "".join(
-            f"data: {json.dumps(d, ensure_ascii=False)}\n\n" for d in events
+            [f"data: {json.dumps(d, ensure_ascii=False)}\n\n" for d in head]
+            + [f"data: {s}\n\n" for s in delta_frames]
+            + [f"data: {json.dumps(d, ensure_ascii=False)}\n\n" for d in rest]
         )
     return "".join(
-        f"event: {d['type']}\ndata: {json.dumps(d, ensure_ascii=False)}\n\n"
-        for d in events
+        [
+            f"event: {d['type']}\ndata: "
+            f"{json.dumps(d, ensure_ascii=False)}\n\n"
+            for d in head
+        ]
+        + [
+            "event: response.output_text.delta\ndata: " + s + "\n\n"
+            for s in delta_frames
+        ]
+        + [
+            f"event: {d['type']}\ndata: "
+            f"{json.dumps(d, ensure_ascii=False)}\n\n"
+            for d in rest
+        ]
     )
 
 
