@@ -32,11 +32,12 @@ operator follows.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -265,3 +266,211 @@ def ivf_cosine_topk(
     return ivf_topk(
         embeddings, query_vec, centroids, k, nprobe, vec_col, id_col
     )
+
+
+class IvfIndexTape:
+    """Persisted IVF index — the learned-quantizer analog of
+    :class:`tapes_spark.operators.ann_index.LshIndexTape` (reference
+    role: pkg/spanembed/store.go:176-180, the saved vector index).
+
+    Two snapshot-versioned tapes under one root:
+
+      * ``centroids/`` — the trained quantizer, k x dim as (cluster,
+        pos, val) rows.  Trained ONCE per config; new data does NOT
+        retrain it (the standard IVF contract: the coarse quantizer is
+        fixed, assignment is cheap) — a config change or an explicit
+        ``refresh(..., retrain=True)`` rebuilds it.
+      * ``assignments/`` — (id, vec_hash, cluster), content-hash-keyed
+        per vector (D4) and incrementally maintained (D3/D5) with the
+        same decide() ladder as the LSH tape: unchanged hash = skip (no
+        matmul), new id = append, changed content = partition
+        overwrite.
+
+    Queries load the k x dim centroid matrix driver-side (bounded by
+    construction), rank probes, and FILTER the assignment tape — no
+    corpus shuffle, no Python recompute; the exact re-rank reads only
+    the candidate vectors.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dim: int,
+        n_clusters: int = 16,
+        n_iters: int = 5,
+        seed: int = 42,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        from tapes_spark.tapelog.table import TapeTable
+
+        self.spark = spark
+        self.cent_tape = TapeTable(spark, os.path.join(root, "centroids"))
+        self.assign_tape = TapeTable(
+            spark, os.path.join(root, "assignments")
+        )
+        self.dim = dim
+        self.n_clusters = n_clusters
+        self.n_iters = n_iters
+        self.seed = seed
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.config = (
+            f"ivf-v1:dim={dim}:k={n_clusters}:iters={n_iters}:seed={seed}"
+        )
+
+    # ---------------------------------------------------------- build
+
+    def stored_config(self) -> str | None:
+        snaps = self.cent_tape.snapshots()
+        if not snaps:
+            return None
+        return snaps[-1].get("lineage", {}).get("config")
+
+    def load_centroids(self) -> np.ndarray:
+        """The trained quantizer from the tape — k x dim, driver-side
+        (bounded by construction, never the corpus)."""
+        rows = self.cent_tape.read().collect()
+        k = max(r["cluster"] for r in rows) + 1
+        mat = np.zeros((k, self.dim), dtype=np.float64)
+        for r in rows:
+            mat[r["cluster"], r["pos"]] = r["val"]
+        return mat
+
+    def _centroid_rows(self, centroids: np.ndarray) -> DataFrame:
+        k, dim = centroids.shape
+        data = [
+            (int(c), int(p), float(centroids[c, p]))
+            for c in range(k)
+            for p in range(dim)
+        ]
+        return self.spark.createDataFrame(
+            data,
+            StructType(
+                [
+                    StructField("cluster", IntegerType()),
+                    StructField("pos", IntegerType()),
+                    StructField("val", DoubleType()),
+                ]
+            ),
+        )
+
+    def _assign(
+        self, embeddings: DataFrame, centroids: np.ndarray
+    ) -> DataFrame:
+        """(id, vec_hash, cluster) — hash attached by an id equi-join so
+        the matmul stage stays (id, vec)-narrow."""
+        from tapes_spark.operators.ann_index import vec_content_hash
+
+        stamped = embeddings.select(
+            self.id_col, vec_content_hash(self.vec_col).alias("vec_hash")
+        )
+        assigned = ivf_assignments(
+            embeddings, centroids, self.vec_col, self.id_col
+        )
+        return assigned.join(stamped, self.id_col)
+
+    def refresh(
+        self, embeddings: DataFrame, retrain: bool = False
+    ) -> dict:
+        """One incremental maintenance pass; idempotent.  Returns the
+        per-action counts of the decide() ladder."""
+        from tapes_spark.operators.ann_index import vec_content_hash
+
+        lineage = {"config": self.config}
+        if retrain or self.stored_config() != self.config:
+            centroids = ivf_train(
+                embeddings, self.n_clusters, self.n_iters, self.seed,
+                self.vec_col, self.id_col,
+            )
+            self.cent_tape.overwrite(
+                self._centroid_rows(centroids),
+                {**lineage, "op": "train"},
+            )
+            self.assign_tape.overwrite(
+                self._assign(embeddings, centroids),
+                {**lineage, "op": "full_build"},
+            )
+            return {
+                "mode": "full",
+                "indexed": self.assign_tape.read().count(),
+                "up_to_date": 0,
+                "changed": 0,
+            }
+        centroids = self.load_centroids()
+        current = self.assign_tape.read().select(self.id_col, "vec_hash")
+        stamped = embeddings.select(
+            self.id_col, vec_content_hash(self.vec_col).alias("vec_hash")
+        )
+        todo_keys = stamped.join(
+            current, [self.id_col, "vec_hash"], "left_anti"
+        )
+        n_todo = todo_keys.count()  # anti-join only — no matmul yet
+        total = embeddings.count()
+        if n_todo == 0:
+            return {"mode": "incremental", "indexed": 0,
+                    "up_to_date": total, "changed": 0}
+        changed_ids = [
+            r[self.id_col]
+            for r in todo_keys.join(
+                current.select(self.id_col), self.id_col, "left_semi"
+            ).select(self.id_col).collect()
+        ]  # bounded by the delta, not the corpus
+        todo = embeddings.join(
+            todo_keys.select(self.id_col), self.id_col, "left_semi"
+        )
+        codes = self._assign(todo, centroids)
+        n_changed = len(changed_ids)
+        if n_changed:
+            changed_df = self.spark.createDataFrame(
+                [(i,) for i in changed_ids],
+                StructType(
+                    [StructField(
+                        self.id_col, embeddings.schema[self.id_col].dataType
+                    )]
+                ),
+            )
+            self.assign_tape.overwrite_partitions(
+                codes.join(changed_df, self.id_col, "left_semi"),
+                self.id_col, changed_ids,
+                {**lineage, "op": "reassign_changed"},
+            )
+            new_codes = codes.join(changed_df, self.id_col, "left_anti")
+        else:
+            new_codes = codes
+        if n_todo - n_changed:
+            self.assign_tape.append(
+                new_codes, {**lineage, "op": "append_new"}
+            )
+        return {
+            "mode": "incremental",
+            "indexed": n_todo,
+            "up_to_date": total - n_todo,
+            "changed": n_changed,
+        }
+
+    # ---------------------------------------------------------- query
+
+    def topk(
+        self,
+        embeddings: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """ANN top-k served from the persisted index: stored quantizer
+        ranks probes driver-side, stored assignments filter candidates
+        (no matmul over the corpus), exact re-rank reads only candidate
+        vectors."""
+        centroids = self.load_centroids()
+        probes = probe_clusters(query_vec, centroids, nprobe)
+        candidate_ids = (
+            self.assign_tape.read()
+            .filter(F.col("cluster").isin([int(p) for p in probes]))
+            .select(self.id_col)
+        )
+        candidates = embeddings.join(candidate_ids, self.id_col, "left_semi")
+        return brute_cosine_topk(
+            candidates, query_vec, k, self.vec_col, self.id_col
+        )

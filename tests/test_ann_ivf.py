@@ -128,3 +128,89 @@ class TestSearch:
         assert cents.shape[0] <= 8
         out = ann_ivf.ivf_topk(tiny, qvec, cents, k=3, nprobe=8).collect()
         assert len(out) == 3
+
+
+class TestIvfIndexTape:
+    def _tape(self, spark, corpus, tmp_path):
+        dim = len(corpus.select("embedding").first()[0])
+        return ann_ivf.IvfIndexTape(
+            spark, str(tmp_path / "ivf"), dim,
+            n_clusters=N_CLUSTERS, n_iters=N_ITERS,
+        )
+
+    def test_indexed_topk_matches_recompute(
+        self, spark, corpus, centroids, qvec, tmp_path
+    ):
+        idx = self._tape(spark, corpus, tmp_path)
+        idx.refresh(corpus)
+        # the stored quantizer IS the trained one (same corpus + seed)
+        import numpy as np
+
+        assert np.allclose(idx.load_centroids(), centroids)
+        for nprobe in (8, N_CLUSTERS):
+            got = idx.topk(corpus, qvec, k=10, nprobe=nprobe).collect()
+            want = ann_ivf.ivf_topk(
+                corpus, qvec, centroids, k=10, nprobe=nprobe
+            ).collect()
+            assert got == want
+
+    def test_refresh_ladder_trains_once(
+        self, spark, corpus, qvec, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        idx = self._tape(spark, corpus, tmp_path)
+        n = corpus.count()
+        first = idx.refresh(corpus)
+        assert first["mode"] == "full" and first["indexed"] == n
+        second = idx.refresh(corpus)
+        assert second == {"mode": "incremental", "indexed": 0,
+                          "up_to_date": n, "changed": 0}
+        # new ids: appended under the FIXED quantizer — no retrain
+        n_cent_snaps = len(idx.cent_tape.snapshots())
+        extra = corpus.limit(3).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        third = idx.refresh(corpus.unionByName(extra))
+        assert third["indexed"] == 3 and third["changed"] == 0
+        assert third["up_to_date"] == n
+        assert len(idx.cent_tape.snapshots()) == n_cent_snaps
+        assert idx.assign_tape.read().count() == n + 3
+
+    def test_changed_vector_reassigned(self, spark, corpus, tmp_path):
+        from pyspark.sql import functions as F
+
+        idx = self._tape(spark, corpus, tmp_path)
+        idx.refresh(corpus)
+        mutated = corpus.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == 17,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        res = idx.refresh(mutated)
+        assert res["changed"] == 1 and res["indexed"] == 1
+        assert idx.assign_tape.read().count() == corpus.count()
+        # stored assignment for the flipped vector matches a recompute
+        cents = idx.load_centroids()
+        want = {
+            r["vec_id"]: r["cluster"]
+            for r in ann_ivf.ivf_assignments(mutated, cents).collect()
+        }
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in idx.assign_tape.read().collect()
+        }
+        assert got == want
+
+    def test_config_change_rebuilds(self, spark, corpus, tmp_path):
+        idx = self._tape(spark, corpus, tmp_path)
+        idx.refresh(corpus)
+        dim = idx.dim
+        idx2 = ann_ivf.IvfIndexTape(
+            spark, str(tmp_path / "ivf"), dim,
+            n_clusters=N_CLUSTERS, n_iters=N_ITERS, seed=7,
+        )
+        res = idx2.refresh(corpus)
+        assert res["mode"] == "full"
