@@ -305,27 +305,26 @@ def minhash_signatures(
     return _spread_toks(docs, text_col).mapInPandas(compute, out_schema)
 
 
-def minhash_lsh_pairs(
+def minhash_band_hashes(
     docs: DataFrame,
     num_perm: int = 64,
     bands: int = 16,
-    threshold: float = 0.6,
     seed: int = 42,
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash + banded LSH candidate generation, then exact-Jaccard
-    verification of candidates only.
+    """doc_id -> ``bh`` array<bigint>: one 64-bit LSH band key per band.
 
     rows_per_band = num_perm / bands tunes the S-curve; 16 bands x 4 rows
-    targets ~0.6 similarity.  The candidate join shuffles on (band_idx,
-    band_hash) — bucket-sized, never all-pairs.
+    targets ~0.6 similarity.  64-bit band keys (xxhash64 of the band's
+    signature slice, salted with the band index): bigint keys join far
+    cheaper than sha256 strings, and a hash collision can only create a
+    false CANDIDATE — the exact verify removes it.  This is the HALF the
+    persisted dedup index stores (dedup_index.MinHashIndexTape); the
+    recompute path (:func:`minhash_lsh_pairs`) composes the same halves,
+    so indexed and recomputed answers are bit-identical.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, num_perm, seed, text_col)
-    # 64-bit band keys (xxhash64 of the band's signature slice, salted with
-    # the band index).  bigint keys join far cheaper than sha256 strings,
-    # and a hash collision can only create a false CANDIDATE — the exact
-    # verify below removes it.
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -338,13 +337,17 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = (
-        sig.select("doc_id", band_hashes.alias("bh"))
-        .select(
-            "doc_id",
-            "bh",
-            F.posexplode("bh").alias("band_idx", "band_hash"),
-        )
+    return sig.select("doc_id", band_hashes.alias("bh"))
+
+
+def pairs_from_band_hashes(bh_df: DataFrame, bands: int) -> DataFrame:
+    """Candidate (doc1, doc2) pairs from a (doc_id, bh) frame via the
+    banded equi-join — shuffles on (band_idx, band_hash), bucket-sized,
+    never all-pairs."""
+    banded = bh_df.select(
+        "doc_id",
+        "bh",
+        F.posexplode("bh").alias("band_idx", "band_hash"),
     )
     left = banded.select(
         F.col("doc_id").alias("doc1"), F.col("bh").alias("bh1"),
@@ -368,20 +371,31 @@ def minhash_lsh_pairs(
         collide_earlier = collide_earlier | (
             (F.col("band_idx") > j) & (F.col("bh1")[j] == F.col("bh2")[j])
         )
-    candidates = (
+    return (
         left.join(right, ["band_idx", "band_hash"])
         .filter((F.col("doc1") < F.col("doc2")) & ~collide_earlier)
         .select("doc1", "doc2")
     )
-    # exact verify candidates only — join each side's distinct-token set,
-    # HASHED to 64-bit ids, and intersect natively.  This keeps
-    # verification at O(|candidates|) rows with per-row JVM array ops; the
-    # earlier explode-join form pushed O(|candidates| x tokens-per-doc)
-    # rows through a shuffle and dominated the query on dense corpora.
-    # bigint intersects are several-fold cheaper than string intersects
-    # (Catalyst duplicates the intersect when it pushes the jaccard filter
-    # into the join condition, so per-eval cost matters twice over); a
-    # 64-bit collision changing a count is ~|toks|^2/2^64 — negligible.
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc1, doc2) pairs.
+
+    Joins each side's distinct-token set, HASHED to 64-bit ids, and
+    intersects natively.  This keeps verification at O(|candidates|) rows
+    with per-row JVM array ops; the earlier explode-join form pushed
+    O(|candidates| x tokens-per-doc) rows through a shuffle and dominated
+    the query on dense corpora.  bigint intersects are several-fold
+    cheaper than string intersects (Catalyst duplicates the intersect
+    when it pushes the jaccard filter into the join condition, so
+    per-eval cost matters twice over); a 64-bit collision changing a
+    count is ~|toks|^2/2^64 — negligible.
+    """
     tok_arrays = docs.select(
         "doc_id",
         F.array_distinct(
@@ -414,6 +428,25 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact-Jaccard
+    verification of candidates only.  Composed from the three shareable
+    halves (:func:`minhash_band_hashes` -> :func:`pairs_from_band_hashes`
+    -> :func:`verify_jaccard`) so the persisted-index path
+    (dedup_index.MinHashIndexTape) answers bit-identically.
+    """
+    bh = minhash_band_hashes(docs, num_perm, bands, seed, text_col)
+    candidates = pairs_from_band_hashes(bh, bands)
+    return verify_jaccard(candidates, docs, threshold, text_col)
 
 
 # ------------------------------------------------------------- simhash
