@@ -754,6 +754,54 @@ SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 3
 """
 
 
+def _driver_idx_root(sf_dir: str, kind: str) -> str:
+    """Stable per-corpus tape root under /tmp for the persisted-index
+    driver queries — refresh() is idempotent and content-hash keyed, so
+    re-runs against an existing tape re-sign nothing, and a corpus or
+    config change reconciles instead of corrupting."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "tapes_driver_idx", key, kind
+    )
+
+
+def q_minhash_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs served from the PERSISTED MinHash index tape
+    (operators/dedup_index.MinHashIndexTape).  refresh() incrementally
+    maintains content-hash-keyed band signatures (a warm call re-signs
+    nothing); pairs() shares the recompute path's query halves
+    (pairs_from_band_hashes + verify_jaccard), so the output is
+    bit-identical to q_minhash_lsh_pairs and the exact-Jaccard SQL
+    doubles as this query's oracle (same 128-perm/32-band recall
+    margin)."""
+    from tapes_spark.operators.dedup_index import MinHashIndexTape
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = MinHashIndexTape(
+        spark, _driver_idx_root(sf_dir, "minhash"), num_perm=128, bands=32
+    )
+    idx.refresh(docs)
+    return idx.pairs(docs, threshold=0.8)
+
+
+def q_simhash_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs served from the PERSISTED SimHash index tape —
+    fully index-resident (popcount verify over stored signatures, zero
+    text reads at query time).  Bit-identical to q_simhash_pairs via the
+    shared pairs_from_simhashes half, so the first-principles SimHash
+    SQL doubles as the oracle."""
+    from tapes_spark.operators.dedup_index import SimHashIndexTape
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = SimHashIndexTape(spark, _driver_idx_root(sf_dir, "simhash"))
+    idx.refresh(docs)
+    return idx.pairs(max_hamming=3)
+
+
 # --------------------------------------------------------------------------
 # similarity: brute-force cosine top-k over embeddings
 # --------------------------------------------------------------------------
@@ -1045,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attach": q_asof_attach,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_index_pairs": q_minhash_index_pairs,
+        "simhash_index_pairs": q_simhash_index_pairs,
         "transport_drop_hist": q_transport_drop_hist,
         "sse_roundtrip": q_sse_roundtrip,
         "sse_roundtrip_openai": q_sse_roundtrip_openai,
@@ -1087,4 +1137,8 @@ def oracle_sql() -> dict[str, str]:
         # simhash recomputed from first principles in SQL (list_reduce
         # FNV + majority vote); pigeonhole candidates are exact at h<=3
         "simhash_pairs": _SIMHASH_SQL,
+        # the persisted-index paths share the recompute paths' query
+        # halves, so the same oracles gate them bit-for-bit
+        "minhash_index_pairs": _JACCARD_SQL,
+        "simhash_index_pairs": _SIMHASH_SQL,
     }

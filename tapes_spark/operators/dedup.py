@@ -451,11 +451,11 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------- simhash
 
-def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", seed: int = 42
-) -> DataFrame:
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc (JVM-side tokenization, vectorized numpy
-    majority vote in mapInPandas)."""
+    majority vote in mapInPandas).  Deterministic by construction: the
+    per-token hash is seedless FNV-1a, so there is no seed knob — the
+    oracle SQL recomputes the identical function from first principles."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
@@ -495,15 +495,16 @@ def simhash_signatures(
     return _spread_toks(docs, text_col).mapInPandas(compute, out_schema)
 
 
-def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+def pairs_from_simhashes(
+    sig: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+    """Near-dup pairs from a (doc_id, simhash) frame — the query half the
+    persisted index (dedup_index.SimHashIndexTape) shares with the
+    recompute path, so indexed and recomputed answers are bit-identical.
 
     Candidates via 4x16-bit chunk equality (pigeonhole: any pair within
     hamming 3 shares at least one exact chunk), then exact popcount filter.
     """
-    sig = simhash_signatures(docs, text_col)
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -555,4 +556,14 @@ def simhash_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming (signature
+    generation + :func:`pairs_from_simhashes`)."""
+    return pairs_from_simhashes(
+        simhash_signatures(docs, text_col), max_hamming
     )

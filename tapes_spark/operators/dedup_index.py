@@ -1,35 +1,36 @@
-"""Persisted MinHash dedup index — signatures as a first-class sink.
+"""Persisted dedup indexes — signatures as first-class sinks.
 
 At corpus scale, dedup is INCREMENTAL by nature: a training-data pipeline
 receives batches of new documents and must dedupe each batch against a
-corpus whose signatures were already paid for.  Recomputing MinHash over
-100 TB per incoming batch is the one thing the design must never do —
-the band-hash table IS the index (the same argument as the vector index,
-ann_index.LshIndexTape; reference analog: the reference persists derived
-artifacts keyed by content hash and re-derives only dirty sessions,
-pkg/storage/postgres/derive.go:246-265, store.go:176-180).
+corpus whose signatures were already paid for.  Recomputing MinHash or
+SimHash over 100 TB per incoming batch is the one thing the design must
+never do — the signature table IS the index (the same argument as the
+vector index, ann_index.LshIndexTape; reference analog: the reference
+persists derived artifacts keyed by content hash and re-derives only
+dirty sessions, pkg/storage/postgres/derive.go:246-265,
+pkg/spanembed/store.go:176-180).
 
-``MinHashIndexTape`` materializes :func:`dedup.minhash_band_hashes`
-output into a snapshot-versioned :class:`TapeTable`, content-hash-keyed
-per document (D4) and incrementally maintained (D3/D5) with the decide()
-ladder:
+Both tapes materialize their signature half into a snapshot-versioned
+:class:`TapeTable`, content-hash-keyed per document (D4) and
+incrementally maintained (D3/D5) with the decide() ladder:
 
   * a doc already indexed under the same text hash is skipped
     (``up_to_date`` — no tokenization, no signature);
-  * a NEW doc_id gets band hashes appended;
+  * a NEW doc_id gets its signature appended;
   * a CHANGED doc (same id, different text hash) gets its partition
     overwritten;
-  * a CONFIG change (perms/bands/seed) invalidates the whole tape —
-    band keys from different permutations are not comparable — and
-    triggers a full rebuild.
+  * a CONFIG change invalidates the whole tape (signatures from
+    different permutations/seeds are not comparable) and triggers a
+    full rebuild.
 
 Queries share the recompute path's halves (``pairs_from_band_hashes`` +
-``verify_jaccard``), so indexed and recomputed pair sets are
-bit-identical for the same corpus snapshot.  :meth:`pairs_with` is the
-scale query: candidates are generated from the BATCH's band rows joined
-against the stored corpus bands — the batch side is O(batch x bands)
-rows and broadcastable when small (AQE picks it), the corpus side is a
-columnar scan of stored longs, and no signature is ever recomputed.
+``verify_jaccard`` for MinHash; ``pairs_from_simhashes`` for SimHash),
+so indexed and recomputed pair sets are bit-identical for the same
+corpus snapshot.  ``pairs_with`` is the scale query: candidates are
+generated from the BATCH's signature rows joined against the stored
+corpus signatures — the batch side is O(batch) rows and broadcastable
+when small (AQE picks it), the corpus side is a columnar scan of stored
+longs, and no signature is ever recomputed.
 
 Scale notes: refresh shuffles only the (doc_id, doc_hash) anti-join; the
 only driver-side list is the CHANGED-id set handed to partition
@@ -45,6 +46,8 @@ from pyspark.sql import functions as F
 from tapes_spark.operators.dedup import (
     minhash_band_hashes,
     pairs_from_band_hashes,
+    pairs_from_simhashes,
+    simhash_signatures,
     verify_jaccard,
 )
 from tapes_spark.tapelog.table import TapeTable
@@ -58,38 +61,27 @@ def doc_content_hash(text_col: str) -> F.Column:
     return F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
 
 
-class MinHashIndexTape:
+class _DocIndexTape:
+    """Shared incremental-maintenance machinery: subclasses provide
+    ``config`` and ``_sign(docs) -> (doc_id, <signature cols>)``."""
+
     def __init__(
-        self,
-        spark: SparkSession,
-        root: str,
-        num_perm: int = 64,
-        bands: int = 16,
-        seed: int = 42,
-        text_col: str = "text",
+        self, spark: SparkSession, root: str, text_col: str = "text"
     ):
         self.spark = spark
         self.tape = TapeTable(spark, root)
-        self.num_perm = num_perm
-        self.bands = bands
-        self.seed = seed
         self.text_col = text_col
-        self.config = (
-            f"minhash-v1:perms={num_perm}:bands={bands}:seed={seed}"
-        )
 
-    # ---------------------------------------------------------- build
+    def _sign(self, docs: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
 
     def _codes(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, doc_hash, bh) for *docs* — hash attached by an id
+        """Signatures stamped with the content hash — attached by an id
         equi-join so the signature stage stays (doc_id, toks)-narrow."""
         stamped = docs.select(
             "doc_id", doc_content_hash(self.text_col).alias("doc_hash")
         )
-        bh = minhash_band_hashes(
-            docs, self.num_perm, self.bands, self.seed, self.text_col
-        )
-        return bh.join(stamped, "doc_id")
+        return self._sign(docs).join(stamped, "doc_id")
 
     def stored_config(self) -> str | None:
         snaps = self.tape.snapshots()
@@ -160,6 +152,32 @@ class MinHashIndexTape:
             "up_to_date": total - n_todo,
             "changed": n_changed,
         }
+
+
+class MinHashIndexTape(_DocIndexTape):
+    """Persisted MinHash band hashes: (doc_id, doc_hash, bh)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_perm: int = 64,
+        bands: int = 16,
+        seed: int = 42,
+        text_col: str = "text",
+    ):
+        super().__init__(spark, root, text_col)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.seed = seed
+        self.config = (
+            f"minhash-v1:perms={num_perm}:bands={bands}:seed={seed}"
+        )
+
+    def _sign(self, docs: DataFrame) -> DataFrame:
+        return minhash_band_hashes(
+            docs, self.num_perm, self.bands, self.seed, self.text_col
+        )
 
     # ---------------------------------------------------------- query
 
@@ -233,3 +251,102 @@ class MinHashIndexTape:
             )
         )
         return verify_jaccard(candidates, docs, threshold, self.text_col)
+
+
+class SimHashIndexTape(_DocIndexTape):
+    """Persisted 64-bit SimHashes: (doc_id, doc_hash, simhash)."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, text_col: str = "text"
+    ):
+        super().__init__(spark, root, text_col)
+        # SimHash has no tunables (seedless FNV-1a, fixed 64 bits); the
+        # version string still invalidates the tape on algorithm change.
+        self.config = "simhash-v1:fnv64"
+
+    def _sign(self, docs: DataFrame) -> DataFrame:
+        return simhash_signatures(docs, self.text_col)
+
+    # ---------------------------------------------------------- query
+
+    def read_signatures(self) -> DataFrame:
+        return self.tape.read().select("doc_id", "simhash")
+
+    def pairs(self, max_hamming: int = 3) -> DataFrame:
+        """Full near-dup pair set served from the persisted index —
+        bit-identical to ``simhash_pairs`` on the same snapshot.  Fully
+        index-resident: SimHash verification is a popcount on the stored
+        signatures, so no document text is read at all."""
+        return pairs_from_simhashes(self.read_signatures(), max_hamming)
+
+    def pairs_with(
+        self, new_ids: DataFrame, max_hamming: int = 3
+    ) -> DataFrame:
+        """Batch-vs-corpus near-dup pairs touching *new_ids* — probe side
+        is only the batch's signatures; no corpus-corpus candidates, no
+        text reads, no signature recompute."""
+        sig = self.read_signatures()
+        new_keys = new_ids.select("doc_id")
+        probe = sig.join(new_keys, "doc_id", "left_semi")
+
+        def _chunked(df: DataFrame, id_alias: str, sh_alias: str,
+                     extra=None) -> DataFrame:
+            cols = [
+                F.col("doc_id").alias(id_alias),
+                F.col("simhash").alias(sh_alias),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("chunk_idx"),
+                                F.shiftright(F.col("simhash"), i * 16)
+                                .bitwiseAND(F.lit(0xFFFF))
+                                .alias("chunk"),
+                            )
+                            for i in range(4)
+                        ]
+                    )
+                ).alias("c"),
+            ]
+            if extra is not None:
+                cols.insert(2, extra)
+            return df.select(*cols).select(
+                "*", "c.chunk_idx", "c.chunk"
+            ).drop("c")
+
+        chunks_probe = _chunked(probe, "doc1", "sh1")
+        flagged = sig.join(
+            new_keys.withColumn("is_new", F.lit(True)), "doc_id", "left"
+        )
+        chunks_all = _chunked(
+            flagged, "doc2", "sh2",
+            extra=F.coalesce("is_new", F.lit(False)).alias("is_new2"),
+        )
+
+        def _chunk(col: str, j: int):
+            return (
+                F.shiftright(F.col(col), j * 16).bitwiseAND(F.lit(0xFFFF))
+            )
+
+        collide_earlier = F.lit(False)
+        for j in range(3):
+            collide_earlier = collide_earlier | (
+                (F.col("chunk_idx") > j)
+                & (_chunk("sh1", j) == _chunk("sh2", j))
+            )
+        hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+        return (
+            chunks_probe.join(chunks_all, ["chunk_idx", "chunk"])
+            .filter(
+                (F.col("doc1") != F.col("doc2"))
+                & ~collide_earlier
+                & (~F.col("is_new2") | (F.col("doc1") < F.col("doc2")))
+            )
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select(
+                F.least("doc1", "doc2").alias("doc1"),
+                F.greatest("doc1", "doc2").alias("doc2"),
+                "hamming",
+            )
+        )

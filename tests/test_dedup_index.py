@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from tapes_spark.operators import dedup
-from tapes_spark.operators.dedup_index import MinHashIndexTape
+from tapes_spark.operators.dedup_index import (
+    MinHashIndexTape,
+    SimHashIndexTape,
+)
 
 SF = "/root/testdata/sf0.001"
 THRESHOLD = 0.8
@@ -101,3 +104,47 @@ class TestRefreshLadder:
         )
         res = idx2.refresh(docs)
         assert res["mode"] == "full"
+
+
+class TestSimHashIndex:
+    def test_indexed_pairs_match_recompute(self, spark, docs, tmp_path):
+        idx = SimHashIndexTape(spark, str(tmp_path / "sh_idx"))
+        idx.refresh(docs)
+        got = {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in idx.pairs(max_hamming=3).collect()
+        }
+        want = {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+        }
+        assert got == want and want
+
+    def test_pairs_with_matches_filtered_full(self, spark, docs, tmp_path):
+        idx = SimHashIndexTape(spark, str(tmp_path / "sh_idx"))
+        idx.refresh(docs)
+        new_ids = docs.select("doc_id").filter(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0
+        )
+        new_set = {r["doc_id"] for r in new_ids.collect()}
+        got = {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in idx.pairs_with(new_ids, max_hamming=3).collect()
+        }
+        full = {
+            (r["doc1"], r["doc2"], r["hamming"])
+            for r in idx.pairs(max_hamming=3).collect()
+        }
+        want = {
+            p for p in full if p[0] in new_set or p[1] in new_set
+        }
+        assert got == want and want
+
+    def test_incremental_no_resign(self, spark, docs, tmp_path):
+        idx = SimHashIndexTape(spark, str(tmp_path / "sh_idx"))
+        n = docs.count()
+        assert idx.refresh(docs)["mode"] == "full"
+        assert idx.refresh(docs) == {
+            "mode": "incremental", "indexed": 0,
+            "up_to_date": n, "changed": 0,
+        }
