@@ -95,7 +95,7 @@ from tapes_spark.pipeline import run_pipeline, materialize_sinks
 stage = "/dev/shm/tapes_bench_stage_{cores}"
 shutil.rmtree(stage, ignore_errors=True)
 spark = get_spark("tapes-bench-{cores}", parallelism={cores},
-                  shuffle_partitions={cores},
+                  shuffle_partitions=2 * {cores},
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "2m",
                                "spark.sql.files.openCostInBytes": "0"}})
 tx = spark.read.parquet({path!r})
@@ -439,7 +439,8 @@ def main() -> None:
     from tapes_spark.session import get_spark, stop_spark
 
     spark = get_spark(
-        "tapes-bench-queries", parallelism=CPUS, shuffle_partitions=CPUS,
+        "tapes-bench-queries", parallelism=CPUS,
+        shuffle_partitions=2 * CPUS,
         extra_conf={
             # the sf0.1 tables are single parquet files: without a split
             # bound the scan runs as 1-2 tasks and pins every narrow
@@ -462,7 +463,13 @@ def main() -> None:
         walls: dict[str, float] = {}
         for name, fn in entrymod.queries().items():
             if name in (
-                "jaccard_pairs", "cosine_dup_pairs", "minhash_lsh_pairs"
+                "jaccard_pairs", "cosine_dup_pairs", "minhash_lsh_pairs",
+                # the persisted-index driver queries run the same
+                # oracle-margin 128-perm config (correctness gate, not a
+                # scale query); index performance is covered by
+                # tests/test_dedup_index + the production-config minhash
+                # bench below
+                "minhash_index_pairs", "simhash_index_pairs",
             ):
                 # brute-force all-pairs ops are the sf0.01 ORACLES for
                 # the LSH paths, not scale queries — O(n^2) at sf0.1; and

