@@ -609,7 +609,62 @@ def main() -> None:
     # live in the partial file only, not the artifact of record
     for k in [k for k in out if k.startswith("partial_")]:
         del out[k]
-    print(json.dumps(out))
+    # Full artifact -> repo file; stdout gets a COMPACT line.  The
+    # harness that records this run keeps only the final ~2000 chars of
+    # stdout and parses the last JSON line within them — the r3/r4
+    # artifacts shipped parsed=null because the embedded protocol notes
+    # pushed the line past that window.  Protocol prose lives in
+    # BASELINE.md + the detail file; the printed line carries the
+    # contract numbers.
+    detail_path = os.path.join(REPO, "BENCH_detail_last_run.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(_compact_line(out, detail_path)))
+
+
+_COMPACT_PIPE_KEYS = (
+    "scale_n", "scale_4n", "scaling_efficiency", "pair_efficiencies",
+    "pairs_measured", "wall_sec_n", "wall_sec_4n", "turns_per_sec_n",
+    "turns_per_sec_4n", "warmup_pair_efficiency",
+    "host_ceiling_efficiency", "efficiency_vs_host_ceiling",
+    "host_membw_scaling", "host_cpu_scaling", "cpu_pinned", "turns",
+    "cores_peak", "wall_sec_peak", "turns_per_sec_peak",
+)
+
+
+def _compact_line(out: dict, detail_path: str | None) -> dict:
+    pipe = out.get("pipeline", {})
+    cpipe = {k: pipe[k] for k in _COMPACT_PIPE_KEYS if k in pipe}
+    sec = pipe.get("secondary_pair")
+    if sec:
+        cpipe["secondary_pair"] = {
+            k: sec[k]
+            for k in (
+                "scale_n", "scale_4n", "scaling_efficiency",
+                "pair_efficiencies", "efficiency_vs_host_ceiling",
+            )
+            if k in sec
+        }
+    line = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "pipeline": cpipe,
+        "note": "protocol+controls: BASELINE.md; full artifact: "
+                + (detail_path or "(unwritable)"),
+    }
+    # hard budget: the line must survive a 2000-char stdout tail intact
+    if len(json.dumps(line)) > 1900:
+        line["queries"] = dict(
+            sorted(out["queries"].items(), key=lambda kv: -kv[1])[:12]
+        )
+        line["note"] += "; queries truncated to slowest 12 (full set in detail file)"
+    return line
 
 
 if __name__ == "__main__":
