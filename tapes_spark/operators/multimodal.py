@@ -5,13 +5,15 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.  Decoding is REAL for every format
 expressible without codec libraries — pure-numpy 24-bit BMP and binary
 PPM header+pixel parses, non-interlaced 8-bit PNG including palette
-(stdlib zlib inflate + scanline defilter 0-4 + PLTE gather), and 16-bit
-PCM WAV chunk walks (``_decode_media``) — end-to-end: decode ->
-block-mean resize (``_pool_to_grid``) -> pooled feature vector.  Formats
-needing real codec backends (JPEG/MP3/MP4, plus
-interlaced/16-bit PNG) raise ``NotImplementedError`` in strict
-mode (swap in PIL/torchaudio on a real cluster) or fall back to a
-deterministic content-hash fake in test mode.
+(stdlib zlib inflate + scanline defilter 0-4 + PLTE gather), baseline
+JPEG (``jpeg_codec.py``: stream-driven Huffman/quant tables, chroma
+subsampling, restart intervals), and 16-bit PCM WAV chunk walks
+(``_decode_media``) — end-to-end: decode -> block-mean resize
+(``_pool_to_grid``) -> pooled feature vector.  Formats needing real
+codec backends (MP3/MP4, plus progressive JPEG and interlaced/16-bit
+PNG) raise ``NotImplementedError`` in strict mode (swap in
+torchaudio/pyav on a real cluster) or fall back to a deterministic
+content-hash fake in test mode.
 
 Scale notes: binary payloads dominate row size, so the batch size for
 mapInPandas stages must be bounded by BYTES not rows —
@@ -312,23 +314,28 @@ def _decode_media(payload: bytes, fake: bool) -> np.ndarray:
 
     REAL pure-numpy decoders cover what this container can express
     without codec libraries: 24-bit BMP, binary PPM, non-interlaced
-    8-bit PNG (stdlib zlib), 16-bit PCM WAV.  JPEG/MP3/MP4 still raise
-    NotImplementedError in strict mode — swap in PIL/torchaudio on a
-    real cluster — or fall back to the deterministic fake in test
-    mode."""
+    8-bit PNG (stdlib zlib), baseline JPEG (jpeg_codec.py: stream-driven
+    DHT/DQT, 4:4:4/4:2:2/4:2:0, restart intervals), 16-bit PCM WAV.
+    MP3/MP4 still raise NotImplementedError in strict mode — swap in
+    torchaudio/pyav on a real cluster — or fall back to the
+    deterministic fake in test mode."""
     if payload[:2] == b"BM":
         return _pool_to_grid(_decode_bmp(payload))
     if payload[:2] == b"P6":
         return _pool_to_grid(_decode_ppm(payload))
     if payload[:8] == _PNG_SIG:
         return _pool_to_grid(_decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from tapes_spark.operators.jpeg_codec import decode_jpeg_luma
+
+        return _pool_to_grid(decode_jpeg_luma(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _pool_to_grid(_decode_wav(payload))
     if not fake:
         raise NotImplementedError(
             "no decoder for this format in this environment (real paths: "
-            "BMP/PPM/PNG/WAV); pass fake_decode=True or install a codec "
-            "backend (JPEG/MP3/MP4 remain stubbed)"
+            "BMP/PPM/PNG/JPEG/WAV); pass fake_decode=True or install a "
+            "codec backend (MP3/MP4 remain stubbed)"
         )
     # deterministic fake: a pseudo-pixel array seeded by content hash
     digest = hashlib.sha256(payload).digest()

@@ -107,9 +107,9 @@ class TestRealCodecs:
     def test_codec_backed_formats_still_raise(self):
         import pytest as _pytest
 
-        jpeg_magic = b"\xff\xd8\xff\xe0" + bytes(64)
+        mp3_magic = b"\xff\xfb\x90\x44" + bytes(64)  # MPEG-1 layer III sync
         with _pytest.raises(NotImplementedError):
-            mm._decode_media(jpeg_magic, fake=False)
+            mm._decode_media(mp3_magic, fake=False)
 
     def test_png_roundtrip_all_filters(self):
         """Every defilter path (0=None 1=Sub 2=Up 3=Average 4=Paeth) must
