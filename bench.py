@@ -502,12 +502,15 @@ def main() -> None:
         )
         _dump_partial(out)
         # SECONDARY pair (wider thread range; hits the host's memory-bus
-        # ceiling — reported with its own control for the decomposition)
-        out["pipeline"]["secondary_pair"] = _pair_interleaved(
-            SCALE2_N, SCALE2_4N, SCALE2_MEAS, scale_path,
-            partial=out, tag="secondary",
-        )
-        _dump_partial(out)
+        # ceiling — reported with its own control for the decomposition).
+        # BENCH_SCALE2_MEAS=0 skips it cleanly (primary-only campaign —
+        # r5 campaign 3 had to kill the process mid-run to get one)
+        if SCALE2_MEAS > 0:
+            out["pipeline"]["secondary_pair"] = _pair_interleaved(
+                SCALE2_N, SCALE2_4N, SCALE2_MEAS, scale_path,
+                partial=out, tag="secondary",
+            )
+            _dump_partial(out)
     # peak throughput at full parallelism (persistent child, min-of-2)
     pk_child = _BenchChild(CPUS, path)
     try:
