@@ -544,6 +544,10 @@ def main() -> None:
             # query's map stage below the core count
             "spark.sql.files.maxPartitionBytes": "8m",
             "spark.sql.files.openCostInBytes": "0",
+            # this session shares stdout with the final compact JSON
+            # line; console progress bars would eat into the recording
+            # harness's ~2000-char tail window around it
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     # production LSH configs (recall-gated by pytest on both corpora):
