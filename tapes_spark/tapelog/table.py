@@ -323,21 +323,163 @@ class TapeTable:
 
     def read_incremental(self, after_snapshot_id: int | None) -> DataFrame | None:
         """Rows appended in snapshots strictly newer than the checkpoint
-        (file-level incremental scan — the Iceberg incremental read)."""
+        (file-level incremental scan — the Iceberg incremental read).
+
+        Files introduced by ``compact`` snapshots are skipped: they carry
+        no new rows, only rewrites of data older than the compaction
+        barrier (which callers must keep at or below every active
+        checkpoint — see :meth:`compact`).  Without the skip, a reader
+        checkpointed before a compaction would re-consume the whole
+        rewritten group as if it were fresh data."""
         current = self.current_snapshot_id()
         if current is None or (after_snapshot_id or 0) >= current:
             return None
         seen: set[str] = set()
         if after_snapshot_id:
             seen = set(self.manifest(after_snapshot_id)["files"])
+        compact_added: set[str] = set()
+        for m in self.snapshots():
+            if (
+                m["operation"] == "compact"
+                and m["snapshot_id"] > (after_snapshot_id or 0)
+            ):
+                try:
+                    parent_files = (
+                        set(self.manifest(m["parent_id"])["files"])
+                        if m.get("parent_id")
+                        else set()
+                    )
+                except FileNotFoundError:
+                    # parent manifest expired: only reachable when the
+                    # checkpoint itself predates the expire cutoff (an
+                    # already-invalid checkpoint); skip the whole
+                    # snapshot's files rather than re-emit a compaction
+                    parent_files = set()
+                compact_added |= set(m["files"]) - parent_files
         new_files = [
-            f for f in self.manifest(current)["files"] if f not in seen
+            f
+            for f in self.manifest(current)["files"]
+            if f not in seen and f not in compact_added
         ]
         if not new_files:
             return None
         return self.spark.read.parquet(
             *[os.path.join(self.root, f) for f in new_files]
         )
+
+    # ------------------------------------------------------ maintenance
+
+    def _group_added_at(self) -> dict[str, int]:
+        """First snapshot id in which each current group dir appears."""
+        first: dict[str, int] = {}
+        for m in self.snapshots():
+            for f in m["files"]:
+                d = os.path.dirname(f)
+                first.setdefault(d, m["snapshot_id"])
+        return first
+
+    def compact(
+        self,
+        upto_snapshot_id: int,
+        small_bytes: int = 32 << 20,
+        target_bytes: int = 128 << 20,
+        lineage: dict | None = None,
+    ) -> int | None:
+        """Merge small data groups into one (Iceberg
+        ``rewrite_data_files``): every incremental append leaves a group
+        behind, and at tape scale a day of page drains is thousands of
+        tiny parquet files whose open/footer cost dominates scans.
+
+        Only groups first committed at snapshots <= *upto_snapshot_id*
+        (the barrier) are rewritten.  The barrier MUST be at or below
+        every active incremental consumer's checkpoint: rows older than
+        the barrier were consumed already, so skipping the rewritten
+        group in :meth:`read_incremental` loses nothing, while rows
+        newer than the barrier keep their original (still-diffable)
+        files.  Logical content is bit-identical before and after; only
+        file layout changes.
+
+        Returns the new snapshot id, or None when fewer than two small
+        groups qualify (nothing to merge)."""
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return None
+        m = self.manifest(sid)
+        groups: dict[str, list[str]] = {}
+        for f in m["files"]:
+            groups.setdefault(os.path.dirname(f), []).append(f)
+        added_at = self._group_added_at()
+        cand: list[str] = []
+        cand_bytes = 0
+        for d, files in groups.items():
+            if added_at.get(d, sid) > upto_snapshot_id:
+                continue
+            size = sum(
+                os.path.getsize(os.path.join(self.root, f)) for f in files
+            )
+            if size < small_bytes:
+                cand.append(d)
+                cand_bytes += size
+        if len(cand) < 2:
+            return None
+        cand_set = set(cand)
+        src_files = [f for f in m["files"] if os.path.dirname(f) in cand_set]
+        merged = self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in src_files]
+        ).repartition(max(1, -(-cand_bytes // target_bytes)))
+        group, new_files = self._write_data_group(merged)
+        kept_files = [
+            f for f in m["files"] if os.path.dirname(f) not in cand_set
+        ]
+        # merged bucket stats: union when every source recorded the same
+        # column; otherwise omit the entry (the group is then always kept
+        # by pruning — safe, never wrong)
+        pb = dict(m.get("partition_buckets", {}))
+        entries = [pb.pop(d, None) for d in cand]
+        cols = {e["col"] for e in entries if isinstance(e, dict) and "col" in e}
+        if len(cols) == 1 and all(isinstance(e, dict) for e in entries):
+            pb[os.path.join("data", group)] = {
+                "col": cols.pop(),
+                "buckets": sorted(
+                    {b for e in entries for b in e.get("buckets", ())}
+                ),
+            }
+        info = dict(lineage or {})
+        info.setdefault("compacted_groups", len(cand))
+        info.setdefault("compacted_files", len(src_files))
+        info.setdefault("compacted_bytes", cand_bytes)
+        return self._commit(kept_files + new_files, "compact", info, pb)
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Drop all but the newest *keep_last* snapshot manifests and
+        delete data groups no kept snapshot references (Iceberg
+        ``expire_snapshots`` — the GC half of maintenance).  Time travel
+        and change-feed reads older than the cutoff stop working, same
+        as the real operation."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"snapshots_removed": 0, "groups_removed": 0}
+        dropped, kept = snaps[:-keep_last], snaps[-keep_last:]
+        referenced = {
+            os.path.dirname(f) for m in kept for f in m["files"]
+        }
+        groups_removed = 0
+        data_dir = os.path.join(self.root, "data")
+        for g in os.listdir(data_dir):
+            if os.path.join("data", g) not in referenced:
+                shutil.rmtree(os.path.join(data_dir, g), ignore_errors=True)
+                groups_removed += 1
+        for m in dropped:
+            try:
+                os.remove(self._manifest_path(m["snapshot_id"]))
+            except FileNotFoundError:
+                pass
+        return {
+            "snapshots_removed": len(dropped),
+            "groups_removed": groups_removed,
+        }
 
     # ---------------------------------------------------------- utility
 

@@ -301,3 +301,125 @@ class TestIncrementalDerive:
             n: t.current_snapshot_id() for n, t in writer.tables.items()
         }
         assert snap_before == snap_after
+
+
+class TestMaintenance:
+    """compact() + expire_snapshots() — the small-file/GC maintenance a
+    100TB tape needs (Iceberg rewrite_data_files / expire_snapshots)."""
+
+    def _mk(self, spark, tmp_path, name):
+        t = TapeTable(spark, str(tmp_path / name))
+        rows = [("a", 1), ("a", 2), ("b", 10), ("c", 20)]
+        sids = [
+            t.append(
+                spark.createDataFrame([r], "conv_id string, v int"),
+                partition_col="conv_id",
+            )
+            for r in rows
+        ]
+        return t, rows, sids
+
+    def test_compact_merges_and_preserves_content(self, spark, tmp_path):
+        t, rows, sids = self._mk(spark, tmp_path, "mc1")
+        before = sorted((r["conv_id"], r["v"]) for r in t.read().collect())
+        sid = t.compact(upto_snapshot_id=sids[-1])
+        assert sid == sids[-1] + 1
+        m = t.manifest(sid)
+        assert m["operation"] == "compact"
+        assert m["lineage"]["compacted_groups"] == 4
+        # 4 tiny groups -> 1 merged group
+        assert len({__import__("os").path.dirname(f) for f in m["files"]}) == 1
+        after = sorted((r["conv_id"], r["v"]) for r in t.read().collect())
+        assert after == before
+
+    def test_compact_merges_bucket_stats(self, spark, tmp_path):
+        t, rows, sids = self._mk(spark, tmp_path, "mc2")
+        t.compact(upto_snapshot_id=sids[-1])
+        # union of source stats: present keys still readable via pruning
+        got = sorted(
+            (r["conv_id"], r["v"])
+            for r in t.read_pruned("conv_id", ["a"])
+            .filter(F.col("conv_id") == "a")
+            .collect()
+        )
+        assert got == [("a", 1), ("a", 2)]
+        # a key whose bucket is absent skips the (single) merged group
+        from tapes_spark.tapelog.table import _key_bucket
+
+        probe = next(
+            s
+            for s in ("zz-%d" % i for i in range(4096))
+            if _key_bucket(s)
+            not in {_key_bucket(k) for k, _ in rows}
+        )
+        assert t.pruned_files("conv_id", [probe]) == []
+
+    def test_compact_respects_barrier(self, spark, tmp_path):
+        t, rows, sids = self._mk(spark, tmp_path, "mc3")
+        late = t.append(
+            spark.createDataFrame([("d", 99)], "conv_id string, v int"),
+            partition_col="conv_id",
+        )
+        sid = t.compact(upto_snapshot_id=sids[-1])
+        m = t.manifest(sid)
+        dirs = {__import__("os").path.dirname(f) for f in m["files"]}
+        # 4 old groups merged into 1; the post-barrier group untouched
+        assert len(dirs) == 2
+        late_files = set(t.manifest(late)["files"]) - set(
+            t.manifest(sids[-1])["files"]
+        )
+        assert late_files <= set(m["files"])
+
+    def test_compact_needs_two_groups(self, spark, tmp_path):
+        t = TapeTable(spark, str(tmp_path / "mc4"))
+        s1 = t.append(
+            spark.createDataFrame([("a", 1)], "conv_id string, v int")
+        )
+        assert t.compact(upto_snapshot_id=s1) is None
+
+    def test_compact_incremental_contract(self, spark, tmp_path):
+        t, rows, sids = self._mk(spark, tmp_path, "mc5")
+        checkpoint = sids[-1]
+        t.compact(upto_snapshot_id=checkpoint)
+        # compaction introduces no new rows for a checkpoint >= barrier
+        assert t.read_incremental(checkpoint) is None
+        t.append(
+            spark.createDataFrame([("e", 7)], "conv_id string, v int"),
+            partition_col="conv_id",
+        )
+        delta = t.read_incremental(checkpoint)
+        assert [(r["conv_id"], r["v"]) for r in delta.collect()] == [("e", 7)]
+
+    def test_expire_snapshots(self, spark, tmp_path):
+        import os
+
+        t, rows, sids = self._mk(spark, tmp_path, "mc6")
+        t.compact(upto_snapshot_id=sids[-1])
+        before = sorted((r["conv_id"], r["v"]) for r in t.read().collect())
+        stats = t.expire_snapshots(keep_last=1)
+        assert stats["snapshots_removed"] == 4
+        assert stats["groups_removed"] == 4  # the pre-compaction groups
+        assert (
+            sorted((r["conv_id"], r["v"]) for r in t.read().collect())
+            == before
+        )
+        assert len(t.snapshots()) == 1
+        assert len(os.listdir(os.path.join(t.root, "data"))) == 1
+        with pytest.raises(FileNotFoundError):
+            t.read(sids[0])
+
+    def test_compact_skips_mixed_column_stats(self, spark, tmp_path):
+        t = TapeTable(spark, str(tmp_path / "mc7"))
+        t.append(
+            spark.createDataFrame([("a", 1)], "conv_id string, v int"),
+            partition_col="conv_id",
+        )
+        t.append(
+            spark.createDataFrame([("b", 2)], "conv_id string, v int"),
+        )  # no stats on this group
+        sid = t.compact(upto_snapshot_id=t.current_snapshot_id())
+        m = t.manifest(sid)
+        # merged group has NO bucket entry -> always kept (safe), and a
+        # pruned read still sees every row
+        assert m["partition_buckets"] == {}
+        assert t.read_pruned("conv_id", ["b"]).count() == 2
