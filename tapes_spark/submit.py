@@ -42,9 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="tapes_spark.submit", description=__doc__.splitlines()[0]
     )
     p.add_argument(
-        "--input", required=True,
+        "--input", default=None,
         help="transcripts parquet path, or a TapeTable root with "
-             "--input-tape",
+             "--input-tape (required except with --maintain)",
     )
     p.add_argument(
         "--sinks", required=True, help="SinkWriter base directory"
@@ -70,6 +70,27 @@ def build_parser() -> argparse.ArgumentParser:
              "(full mode; tmpfs recommended)",
     )
     p.add_argument(
+        "--maintain", action="store_true",
+        help="maintenance mode: compact small data groups in every sink "
+             "table (and the input tape with --input-tape, behind the "
+             "incremental checkpoint barrier) instead of deriving; "
+             "fingerprint lineage is carried through so later "
+             "re-submits still resume as no-ops",
+    )
+    p.add_argument(
+        "--small-mb", type=int, default=32,
+        help="maintenance: groups smaller than this are merge candidates",
+    )
+    p.add_argument(
+        "--target-mb", type=int, default=128,
+        help="maintenance: target file size for merged groups",
+    )
+    p.add_argument(
+        "--expire-keep", type=int, default=0,
+        help="maintenance: also expire all but the newest N snapshots "
+             "per table (0 = keep every snapshot)",
+    )
+    p.add_argument(
         "--parallelism", type=int, default=None,
         help="local[N] core count (local mode only; a cluster master "
              "from spark-submit/SPARK_MASTER wins)",
@@ -81,10 +102,38 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _maintain_table(table, args) -> dict:
+    """Compact (and optionally expire) one TapeTable, carrying the
+    parent snapshot's fingerprint lineage through the compaction commit
+    so SinkWriter's resume check still sees it on the current snapshot."""
+    sid = table.current_snapshot_id()
+    if sid is None:
+        return {"compacted_snapshot": None}
+    parent = table.manifest(sid).get("lineage", {})
+    lineage = {
+        k: parent[k] for k in ("run_id", "fingerprint") if k in parent
+    }
+    lineage["maintenance"] = True
+    csid = table.compact(
+        upto_snapshot_id=sid,
+        small_bytes=args.small_mb << 20,
+        target_bytes=args.target_mb << 20,
+        lineage=lineage,
+    )
+    out: dict = {"compacted_snapshot": csid}
+    if args.expire_keep:
+        out["expired"] = table.expire_snapshots(keep_last=args.expire_keep)
+    return out
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = build_parser().parse_args(argv)
     if args.incremental and not args.input_tape:
         build_parser().error("--incremental requires --input-tape")
+    if args.maintain and args.incremental:
+        build_parser().error("--maintain and --incremental are exclusive")
+    if args.input is None and not args.maintain:
+        build_parser().error("--input is required (except with --maintain)")
 
     from tapes_spark.pipeline import run_metrics, run_pipeline
     from tapes_spark.session import get_spark
@@ -98,6 +147,43 @@ def main(argv: list[str] | None = None) -> dict:
     )
     writer = SinkWriter(spark, args.sinks)
 
+    if args.maintain:
+        tables = dict(writer.tables)
+        tables["metrics"] = writer.metrics
+        out = {
+            "mode": "maintain",
+            "run_id": args.run_id,
+            "tables": {n: _maintain_table(t, args) for n, t in tables.items()},
+        }
+        if args.input is not None and args.input_tape:
+            # the input tape has a REAL incremental consumer (the dirty
+            # queue): its checkpoint is the compaction barrier, so the
+            # drain can never re-see compacted rows
+            tape = TapeTable(spark, args.input)
+            ckpt = IncrementalDeriver(spark, tape, writer).checkpoint()
+            sid = tape.current_snapshot_id()
+            barrier = ckpt if ckpt is not None else sid
+            if sid is None or barrier is None:
+                out["input"] = {"compacted_snapshot": None}
+            else:
+                csid = tape.compact(
+                    upto_snapshot_id=min(barrier, sid),
+                    small_bytes=args.small_mb << 20,
+                    target_bytes=args.target_mb << 20,
+                    lineage={"maintenance": True},
+                )
+                out["input"] = {"compacted_snapshot": csid}
+                if args.expire_keep:
+                    # never expire the checkpoint manifest itself — the
+                    # next drain diffs against it
+                    cur = tape.current_snapshot_id() or 0
+                    keep = max(args.expire_keep, cur - barrier + 1)
+                    out["input"]["expired"] = tape.expire_snapshots(
+                        keep_last=keep
+                    )
+        print(json.dumps(out))
+        return out
+
     if args.incremental:
         deriver = IncrementalDeriver(
             spark, TapeTable(spark, args.input), writer,
@@ -110,8 +196,10 @@ def main(argv: list[str] | None = None) -> dict:
     if args.input_tape:
         tape = TapeTable(spark, args.input)
         tx = tape.read()
-        # snapshot id IS the input identity — no content scan needed
-        fingerprint = f"in:{tape.current_snapshot_id()}"
+        # the newest CONTENT-changing snapshot is the input identity —
+        # no content scan needed, and a maintenance compaction (layout
+        # only) does not make an unchanged input look new
+        fingerprint = f"in:{tape.latest_data_snapshot_id()}"
     else:
         tx = spark.read.parquet(args.input)
         # plain parquet has no snapshot lineage: one tiny narrow agg

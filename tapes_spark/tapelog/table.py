@@ -367,6 +367,23 @@ class TapeTable:
             *[os.path.join(self.root, f) for f in new_files]
         )
 
+    def latest_data_snapshot_id(self) -> int | None:
+        """Newest snapshot that changed LOGICAL content — walks past
+        ``compact`` snapshots (layout-only rewrites).  This is the right
+        input-identity for fingerprinting: maintenance must not make an
+        unchanged input look new.  Stops at the current snapshot if an
+        ancestor manifest was expired."""
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            try:
+                m = self.manifest(sid)
+            except FileNotFoundError:
+                break
+            if m["operation"] != "compact":
+                return m["snapshot_id"]
+            sid = m.get("parent_id")
+        return self.current_snapshot_id()
+
     # ------------------------------------------------------ maintenance
 
     def _group_added_at(self) -> dict[str, int]:
