@@ -144,3 +144,43 @@ class TestLumaBridge:
         feats = mm.extract_features(media, fake_decode=False).collect()
         assert len(feats) == 12
         assert all(r["error"] is None for r in feats)
+
+
+class TestFuzz:
+    """Property gates: any indexed frame stack round-trips exactly —
+    palette GIF is lossless by construction, so every mismatch is a
+    codec bug (LZW width growth, interlace scatter, sub-block splits)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _frames(draw):
+        from hypothesis import strategies as st
+
+        h = draw(st.integers(1, 20))
+        w = draw(st.integers(1, 20))
+        n_colors = draw(st.integers(2, 256))
+        n_frames = draw(st.integers(1, 4))
+        rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+        frames = [
+            rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+            for _ in range(n_frames)
+        ]
+        palette = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        return frames, palette
+
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_indexed_roundtrip_exact(self, data):
+        frames, palette = self._frames(data.draw)
+        interlace = data.draw(self.st.booleans())
+        payload = encode_gif(
+            indexed=frames, palette=palette, interlace=interlace
+        )
+        got = decode_gif_frames(payload)
+        assert len(got) == len(frames)
+        # no transparency/disposal: every composited frame equals its
+        # own full-canvas palette lookup
+        for g, f in zip(got, frames):
+            assert np.array_equal(g, palette[f])
