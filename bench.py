@@ -25,6 +25,17 @@ Scaling measurement protocol (the north-rule number):
     caught OPPOSITE noise phases on this shared-host sandbox (the
     1-thread leg ran 339s in the driver run vs 422-458s in two builder
     campaigns on identical code) and the shipped ratio swung ±0.13.
+  * The legs are DURATION-MATCHED (BENCH_LEG_MATCH=0 disables): the hi
+    leg runs ceil(warmup_lo/warmup_hi) full passes per pair — a count
+    fixed from the DISCARDED warmup pair before any measured pair
+    exists (value-blind), capped at 4 — sandwiched around the lo leg
+    (half before, half after, extra side alternating per pair), and the
+    pair ratio divides by the MEAN hi wall.  Host bursts shorter than a
+    leg otherwise inflate the short leg's wall by a ~3x larger fraction
+    (r5 campaigns 4-6: hi legs swung ±25% while lo legs held ±6% in the
+    same minutes, biasing the median pair ratio DOWN); equal-length
+    equal-centroid windows give a burst or a monotone drift the same
+    expected wall share on both legs.
   * scaling_efficiency (the contract number) is the MEDIAN of the
     per-pair ratios (lo_i / hi_i) / (4N/N) — robust to a single noisy
     pair in either direction; the raw walls, every per-pair ratio, and
@@ -127,12 +138,24 @@ for line in sys.stdin:
     cmd = line.strip()
     if cmd == "EXIT":
         break
-    if cmd == "RUN":
-        shutil.rmtree(stage, ignore_errors=True)
-        t0 = time.time()
-        res = run_pipeline(spark, tx, stage_dir=stage)
-        materialize_sinks(res)
-        print("DONE " + json.dumps({{"wall": time.time() - t0}}), flush=True)
+    if cmd == "RUN" or cmd.startswith("RUN "):
+        # "RUN <k>" runs k full pipeline passes back-to-back and reports
+        # every wall: the duration-matched hi leg iterates until its
+        # measured window is as long as the lo leg's, so a host burst
+        # shorter than a leg lands on both sides with the same expected
+        # wall-fraction (r5 campaigns 4-6: hi legs swung +-25% while lo
+        # legs held +-6% — a burst covers ~3x more of a 127s window
+        # than of a 360s one)
+        k = int(cmd.split()[1]) if " " in cmd else 1
+        walls = []
+        for _i in range(k):
+            shutil.rmtree(stage, ignore_errors=True)
+            t0 = time.time()
+            res = run_pipeline(spark, tx, stage_dir=stage)
+            materialize_sinks(res)
+            walls.append(time.time() - t0)
+        print("DONE " + json.dumps(
+            {{"wall": walls[0], "walls": walls}}), flush=True)
     elif cmd.startswith("CTL"):
         # plan-free host-ceiling control: pure data movement at this
         # thread count — the upper bound ANY plan can scale at here.
@@ -357,8 +380,31 @@ def _pair_interleaved(
         # legs here (cold controls would mis-ceiling their first pair).
         warm_lo = lo.run()["wall"]
         warm_hi = hi.run()["wall"]
+        # DURATION-MATCHED hi leg (BENCH_LEG_MATCH=0 restores single-run):
+        # the hi leg runs ceil(warm_lo/warm_hi) full passes per pair so
+        # its measured window is at least as long as the lo leg's, and
+        # the pair ratio uses the MEAN hi wall over that window.  Why:
+        # host bursts shorter than a leg inflate the SHORT leg's wall by
+        # a ~3x larger fraction (r5 campaigns 4-6: hi legs swung +-25%,
+        # lo legs +-6% in the same minutes), biasing the pair ratio DOWN;
+        # equal-length windows give a burst the same expected wall share
+        # on both sides.  The iteration count is PRE-REGISTERED from the
+        # discarded warmup pair (value-blind — fixed before any measured
+        # pair exists), capped at 4.  The iterations are SANDWICHED
+        # around the lo leg (half before, half after, extra side
+        # alternating per pair) so the hi window's time-centroid tracks
+        # the lo window's and a monotone host drift (campaign 6: both
+        # legs sped up 20-40% across the hour) hits both legs of a pair
+        # symmetrically to first order.
+        if os.environ.get("BENCH_LEG_MATCH", "1") == "1":
+            import math
+
+            k_hi = max(1, min(4, math.ceil(warm_lo / warm_hi)))
+        else:
+            k_hi = 1
         walls_lo: list[float] = []
-        walls_hi: list[float] = []
+        walls_hi: list[float] = []      # per-pair MEAN hi wall (the ratio's wh)
+        walls_hi_iters: list[list[float]] = []  # raw per-iteration hi walls
         ctl_lo_walls: list[float] = []
         ctl_hi_walls: list[float] = []
         pair_effs: list[float] = []
@@ -368,16 +414,26 @@ def _pair_interleaved(
             len(pair_effs) < cap
             and max(pair_effs) - min(pair_effs) > PAIR_SPREAD
         ):
-            # legs AND their control run back-to-back INSIDE the pair —
-            # lo-pipe, lo-ctl, hi-pipe, hi-ctl — so the plan-free control
-            # samples the same minutes as the legs it explains, at a
-            # comparable wall (iterated; per-iteration wall reported)
+            # pair layout: hi-pre*, lo-pipe, lo-ctl, hi-post*, hi-ctl —
+            # legs AND their control run back-to-back INSIDE the pair so
+            # the plan-free control samples the same minutes as the legs
+            # it explains, at a comparable wall (iterated; per-iteration
+            # wall reported)
+            i = len(pair_effs)
+            pre = k_hi // 2 + (1 if (k_hi % 2 and i % 2) else 0)
+            post = k_hi - pre
+            hi_iters: list[float] = []
+            if pre:
+                hi_iters += hi.run(f"RUN {pre}")["walls"]
             wl = lo.run()["wall"]
             cl = lo.run(f"CTL {_CTL_ITERS_LO}")["wall"]
-            wh = hi.run()["wall"]
+            if post:
+                hi_iters += hi.run(f"RUN {post}")["walls"]
             ch = hi.run(f"CTL {_CTL_ITERS_HI}")["wall"]
+            wh = sum(hi_iters) / len(hi_iters)
             walls_lo.append(wl)
             walls_hi.append(wh)
+            walls_hi_iters.append(hi_iters)
             ctl_lo_walls.append(cl)
             ctl_hi_walls.append(ch)
             pair_effs.append((wl / wh) / ratio)
@@ -396,7 +452,8 @@ def _pair_interleaved(
         lo.close()
         hi.close()
     eff = _median(pair_effs)
-    eff_mins = (min(walls_lo) / min(walls_hi)) / ratio
+    hi_raw = [w for iters in walls_hi_iters for w in iters]
+    eff_mins = (min(walls_lo) / min(hi_raw)) / ratio
     ctl_eff = _median(pair_ctl_effs)
     # per-pair plan-vs-ceiling, THEN median: a single bad host minute
     # hits the pair's leg and control together and cancels in the ratio
@@ -412,16 +469,22 @@ def _pair_interleaved(
         "cpu_pinned": _PIN,
         "scale_turns": turns,
         "wall_sec_n": round(min(walls_lo), 3),
-        "wall_sec_4n": round(min(walls_hi), 3),
+        "wall_sec_4n": round(min(hi_raw), 3),
         "walls_n": [round(w, 1) for w in walls_lo],
+        # per-pair MEAN hi wall over the duration-matched window (what
+        # each pair ratio divides by); raw per-iteration walls below
         "walls_4n": [round(w, 1) for w in walls_hi],
+        "walls_4n_iters": [
+            [round(w, 1) for w in iters] for iters in walls_hi_iters
+        ],
+        "hi_leg_iters": k_hi,
         # the discarded pre-registered warmup run per child (full input;
         # excluded from every aggregate above by policy, not by value)
         "warmup_wall_n": round(warm_lo, 1),
         "warmup_wall_4n": round(warm_hi, 1),
         "warmup_pair_efficiency": round((warm_lo / warm_hi) / ratio, 3),
         "turns_per_sec_n": round(turns / min(walls_lo), 1),
-        "turns_per_sec_4n": round(turns / min(walls_hi), 1),
+        "turns_per_sec_4n": round(turns / min(hi_raw), 1),
         # the contract number: median of per-(interleaved-)pair ratios
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
@@ -463,8 +526,13 @@ def main() -> None:
             "re-planning, heap growth and stage-dir first-touch to the "
             "first full run, which both r5 campaigns measured "
             "systematically low); the N and 4N legs "
-            "run INTERLEAVED (lo,hi,lo,hi,...) so host throughput drift "
-            "hits both legs of a pair in the same phase, and "
+            "run INTERLEAVED and DURATION-MATCHED — the 4N leg runs "
+            "ceil(warmup_lo/warmup_hi) full passes per pair (value-blind, "
+            "fixed from the discarded warmup pair, capped 4), SANDWICHED "
+            "around the N leg so both legs of a pair sample equal-length, "
+            "equal-centroid time windows (host bursts shorter than a leg "
+            "otherwise inflate the short leg ~3x harder; r5 campaigns "
+            "4-6), the pair ratio dividing by the MEAN 4N wall — and "
             "scaling_efficiency is the MEDIAN of per-pair ratios over "
             "%d pairs, extended adaptively up to %d while the per-pair "
             "spread exceeds %.2f — a variance trigger (sign-agnostic, "
@@ -634,7 +702,8 @@ def main() -> None:
 
 _COMPACT_PIPE_KEYS = (
     "scale_n", "scale_4n", "scaling_efficiency", "pair_efficiencies",
-    "pairs_measured", "wall_sec_n", "wall_sec_4n", "turns_per_sec_n",
+    "hi_leg_iters", "pairs_measured",
+    "wall_sec_n", "wall_sec_4n", "turns_per_sec_n",
     "turns_per_sec_4n", "warmup_pair_efficiency",
     "host_ceiling_efficiency", "efficiency_vs_host_ceiling",
     "host_membw_scaling", "host_cpu_scaling", "cpu_pinned", "turns",
