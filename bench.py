@@ -255,6 +255,28 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _hi_leg_iters(warm_lo: float, warm_hi: float) -> int:
+    """Duration-matching iteration count for the hi leg: enough full
+    passes that the hi window is at least the lo window (value-blind —
+    fixed from the DISCARDED warmup pair before any measured pair
+    exists), capped at 4 (= the pair's core ratio: at perfect scaling
+    the windows match exactly)."""
+    import math
+
+    if os.environ.get("BENCH_LEG_MATCH", "1") != "1":
+        return 1
+    return max(1, min(4, math.ceil(warm_lo / warm_hi)))
+
+
+def _sandwich_split(k: int, pair_idx: int) -> tuple[int, int]:
+    """(before, after) split of the hi leg's k iterations around the lo
+    leg: half on each side so the hi window's time-centroid tracks the
+    lo window's under monotone host drift; an odd iteration alternates
+    sides per pair so no side is systematically favored."""
+    pre = k // 2 + (1 if (k % 2 and pair_idx % 2) else 0)
+    return pre, k - pre
+
+
 def _membw_task(_):
     """Fixed memory-streaming workload for the bandwidth control: per-
     process wall of summing a ~400MB array repeatedly (reads stream from
@@ -396,12 +418,7 @@ def _pair_interleaved(
         # the lo window's and a monotone host drift (campaign 6: both
         # legs sped up 20-40% across the hour) hits both legs of a pair
         # symmetrically to first order.
-        if os.environ.get("BENCH_LEG_MATCH", "1") == "1":
-            import math
-
-            k_hi = max(1, min(4, math.ceil(warm_lo / warm_hi)))
-        else:
-            k_hi = 1
+        k_hi = _hi_leg_iters(warm_lo, warm_hi)
         walls_lo: list[float] = []
         walls_hi: list[float] = []      # per-pair MEAN hi wall (the ratio's wh)
         walls_hi_iters: list[list[float]] = []  # raw per-iteration hi walls
@@ -419,9 +436,7 @@ def _pair_interleaved(
             # the plan-free control samples the same minutes as the legs
             # it explains, at a comparable wall (iterated; per-iteration
             # wall reported)
-            i = len(pair_effs)
-            pre = k_hi // 2 + (1 if (k_hi % 2 and i % 2) else 0)
-            post = k_hi - pre
+            pre, post = _sandwich_split(k_hi, len(pair_effs))
             hi_iters: list[float] = []
             if pre:
                 hi_iters += hi.run(f"RUN {pre}")["walls"]

@@ -24,3 +24,36 @@ def test_median_robust_to_one_noisy_pair():
 def test_host_control_tasks_return_positive_walls():
     assert bench._membw_task(0) > 0
     assert bench._cpu_task(0) > 0
+
+
+def test_hi_leg_iters_matches_lo_window(monkeypatch):
+    monkeypatch.delenv("BENCH_LEG_MATCH", raising=False)
+    # warmup 360s lo / 127s hi -> 3 passes (>= lo window)
+    assert bench._hi_leg_iters(360.0, 127.0) == 3
+    # perfect scaling (4x) -> exactly 4 passes, the cap
+    assert bench._hi_leg_iters(400.0, 100.0) == 4
+    assert bench._hi_leg_iters(800.0, 100.0) == 4  # capped
+    assert bench._hi_leg_iters(100.0, 100.0) == 1
+    # opt-out restores single-run legs
+    monkeypatch.setenv("BENCH_LEG_MATCH", "0")
+    assert bench._hi_leg_iters(360.0, 127.0) == 1
+
+
+def test_sandwich_split_centers_and_alternates():
+    # even k: exact half on each side, every pair
+    assert bench._sandwich_split(4, 0) == (2, 2)
+    assert bench._sandwich_split(4, 1) == (2, 2)
+    # odd k: the extra iteration alternates sides across pairs so no
+    # side is systematically favored under monotone drift
+    assert bench._sandwich_split(3, 0) == (1, 2)
+    assert bench._sandwich_split(3, 1) == (2, 1)
+    assert bench._sandwich_split(3, 2) == (1, 2)
+    # k=1 degenerates to the classic lo,hi interleave (never pre-only
+    # forever: alternates which side the single run lands on)
+    assert bench._sandwich_split(1, 0) == (0, 1)
+    assert bench._sandwich_split(1, 1) == (1, 0)
+    # every split conserves the iteration count
+    for k in range(1, 5):
+        for i in range(4):
+            pre, post = bench._sandwich_split(k, i)
+            assert pre + post == k and pre >= 0 and post >= 0
