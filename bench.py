@@ -7,6 +7,16 @@ headline operator queries from __spark_entry__.py at $SPARK_GRAFT_SF_DIR.
 
 Scaling measurement protocol (the north-rule number):
 
+  * EXECUTOR scaling (BENCH_EXEC=1, the default): each level is a
+    `local-cluster[N,1,mem]` app — N REAL separate executor JVMs
+    (1 core each, per-executor heap constant across levels) plus a
+    driver, with real netty shuffle.  The north rule counts executors,
+    and executors are separate JVMs: r5 profiling (BASELINE.md) showed
+    a single wide-threaded JVM pays ~1.6x per-task on-CPU inflation at
+    4 threads (uniform across JFR frames, GC-knob-invariant) that four
+    independent JVMs on the same four cpus do NOT pay — a single-JVM
+    artifact with no cluster analog.  BENCH_EXEC=0 restores the r3/r4
+    thread-mode protocol (local[N] legs) for continuity.
   * One PERSISTENT child process per level (its own SparkSession + JIT
     warmup on a 1/8 conv subset), driven over stdin/stdout.
   * Each scaling child is PINNED (taskset) to exactly N host CPUs, on
@@ -47,6 +57,9 @@ Scaling measurement protocol (the north-rule number):
     host's physical ceiling (see BASELINE.md).
 
 Env:
+  BENCH_EXEC           1 (default) = executor scaling (local-cluster,
+                       separate executor JVMs); 0 = single-JVM thread
+                       scaling (the r3/r4 protocol)
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     high parallelism level N (default 32)
   BENCH_CONVS          transcripts bench conversations (default 200000)
@@ -86,8 +99,15 @@ SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
 SCALE_4N = SCALE_N * 4
 SCALE2_N = int(os.environ.get("BENCH_SCALE2_N", "2"))
 SCALE2_4N = SCALE2_N * 4
-# secondary pair takes 2 interleaved pairs (evidence, not the contract)
-SCALE2_MEAS = int(os.environ.get("BENCH_SCALE2_MEAS", "2"))
+# secondary pair takes 2 interleaved pairs (evidence, not the contract).
+# Executor mode (BENCH_EXEC=1, the default) skips it: the 2->8 thread
+# pair existed to bracket the single-JVM bus story (7 recorded campaigns
+# in BASELINE.md), and two extra local-cluster legs would add ~30 min of
+# wall for no contract value.  BENCH_SCALE2_MEAS=2 restores it.
+SCALE2_MEAS = int(os.environ.get(
+    "BENCH_SCALE2_MEAS",
+    "0" if os.environ.get("BENCH_EXEC", "1") == "1" else "2",
+))
 # the scaling pair runs on the same full-size table as the peak
 # measurement: fixed per-run overheads (driver planning, job scheduling,
 # JIT) eat the fast leg on smaller tables (measured 0.69 at 3M turns vs
@@ -110,18 +130,43 @@ FAST = os.environ.get("BENCH_FAST", "") == "1"
 _PIN = os.environ.get("BENCH_PIN", "1") == "1" and bool(
     __import__("shutil").which("taskset")
 )
+# BENCH_EXEC=1 (default): the scaling children run under Spark's
+# multi-JVM `local-cluster[N,1,mem]` master — N REAL separate executor
+# JVMs (1 core each, per-executor heap constant across levels) plus a
+# driver, with real netty shuffle.  This is the shape the north rule
+# names ("N vs 4N executors") and the shape real clusters scale: more
+# executor processes, not wider single JVMs.  r5 profiling (BASELINE.md)
+# showed one wide-threaded JVM pays ~1.6x per-task ON-CPU inflation at
+# 4 threads (uniform across JFR frames, GC-pause-equal, GC-knob
+# invariant) while the same work as 4 independent pinned JVMs scales
+# ~1.0 — a single-JVM artifact with no cluster analog, so thread-pair
+# ratios (BENCH_EXEC=0, the r3/r4 protocol) UNDERSTATE executor scaling.
+# Driver overhead is ratio-neutral: the same total scheduling work is
+# lost from proportionally equal cpu budgets on both legs.
+EXEC_MODE = os.environ.get("BENCH_EXEC", "1") == "1"
+EXEC_WORKER_MEM_MB = int(os.environ.get("BENCH_EXEC_WORKER_MEM_MB", "7168"))
+EXEC_EXECUTOR_MEM = os.environ.get("BENCH_EXEC_EXECUTOR_MEM", "6g")
 
 _CHILD_SNIPPET = """
-import sys, time, json, shutil
+import sys, time, json, shutil, os
 sys.path.insert(0, {repo!r})
+master = {master!r}
+if master:
+    # executor mode: real separate executor JVMs under the in-sandbox
+    # standalone master (session.py honors SPARK_MASTER on a cluster too)
+    os.environ["SPARK_MASTER"] = master
 from tapes_spark.session import get_spark
 from tapes_spark.pipeline import run_pipeline, materialize_sinks
 stage = "/dev/shm/tapes_bench_stage_{cores}"
 shutil.rmtree(stage, ignore_errors=True)
+extra = {{"spark.sql.files.maxPartitionBytes": "2m",
+          "spark.sql.files.openCostInBytes": "0"}}
+if master:
+    # per-executor heap constant across levels — how a cluster scales out
+    extra["spark.executor.memory"] = {exec_mem!r}
 spark = get_spark("tapes-bench-{cores}", parallelism={cores},
                   shuffle_partitions=2 * {cores},
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": "2m",
-                               "spark.sql.files.openCostInBytes": "0"}})
+                  extra_conf=extra)
 tx = spark.read.parquet({path!r})
 turns = tx.count()
 # warmup pass on a 1/8 conv subset: JIT/codegen warmth costs a fraction
@@ -182,9 +227,18 @@ class _BenchChild:
     scaling pair can interleave without paying session+warmup per
     measurement."""
 
-    def __init__(self, cores: int, path: str, cpuset: str | None = None):
+    def __init__(
+        self,
+        cores: int,
+        path: str,
+        cpuset: str | None = None,
+        master: str | None = None,
+    ):
         self.cores = cores
-        code = _CHILD_SNIPPET.format(repo=REPO, cores=cores, path=path)
+        code = _CHILD_SNIPPET.format(
+            repo=REPO, cores=cores, path=path, master=master,
+            exec_mem=EXEC_EXECUTOR_MEM,
+        )
         self.err = tempfile.NamedTemporaryFile(
             mode="w+", prefix=f"bench_child_{cores}_", suffix=".log",
             delete=False,
@@ -266,6 +320,29 @@ def _hi_leg_iters(warm_lo: float, warm_hi: float) -> int:
     if os.environ.get("BENCH_LEG_MATCH", "1") != "1":
         return 1
     return max(1, min(4, math.ceil(warm_lo / warm_hi)))
+
+
+def _warm_passes(n_lo: int, n_hi: int) -> tuple[int, int]:
+    """Discarded full-size warmup passes per child (value-blind, fixed
+    by the core ratio before anything is measured).  Thread mode: one
+    each (the r4 protocol).  Executor mode: the hi leg discards 4N/N
+    passes — each of its separate executor JVMs sees only N/4N of a
+    pass's rows, so equal per-JVM JIT warm work vs the lo leg's single
+    executor takes the core-ratio's worth of passes (the interrupted
+    2026-08-19 measurement shows hi walls settling only by pass ~4:
+    193 -> 182 -> 137 -> 122 s; BASELINE.md)."""
+    if not EXEC_MODE:
+        return 1, 1
+    return 1, max(1, min(4, n_hi // n_lo))
+
+
+def _scale_master(cores: int) -> str | None:
+    """Scaling-leg master: real separate executor JVMs in executor mode
+    (1 core + constant heap each), plain thread-mode local[N] otherwise
+    (None -> child uses its default)."""
+    if not EXEC_MODE:
+        return None
+    return f"local-cluster[{cores},1,{EXEC_WORKER_MEM_MB}]"
 
 
 def _sandwich_split(k: int, pair_idx: int) -> tuple[int, int]:
@@ -382,9 +459,20 @@ def _pair_interleaved(
 ) -> dict:
     # disjoint cpusets: the idle child's JVM background threads never
     # share a core with the measuring child, and the concurrent warmups
-    # don't contend
-    lo = _BenchChild(n_lo, path, cpuset=f"0-{n_lo - 1}" if n_lo > 1 else "0")
-    hi = _BenchChild(n_hi, path, cpuset=f"{n_lo}-{n_lo + n_hi - 1}")
+    # don't contend.  taskset covers the whole process tree, so in
+    # executor mode the master, worker, executor JVMs AND the driver all
+    # stay inside the leg's N cpus — on both legs, so the driver's
+    # (equal-total) scheduling work cancels in the ratio.
+    lo = _BenchChild(
+        n_lo, path,
+        cpuset=f"0-{n_lo - 1}" if n_lo > 1 else "0",
+        master=_scale_master(n_lo),
+    )
+    hi = _BenchChild(
+        n_hi, path,
+        cpuset=f"{n_lo}-{n_lo + n_hi - 1}",
+        master=_scale_master(n_hi),
+    )
     try:
         # warmups overlap (both children build + warm concurrently)
         lo_ready = lo.wait_ready()
@@ -396,12 +484,19 @@ def _pair_interleaved(
         # state, and /dev/shm stage pages get first-touched — and both
         # r5 campaigns measured the first pair systematically low
         # (0.735/0.655 vs 0.785-0.847 warm) with per-leg walls converging
-        # only by run 2-3.  One full-size discarded run per child brings
-        # every MEASURED pair to steady state; its walls and implied
-        # ratio are still recorded below for transparency.  No control
-        # legs here (cold controls would mis-ceiling their first pair).
-        warm_lo = lo.run()["wall"]
-        warm_hi = hi.run()["wall"]
+        # only by run 2-3.  Discarded full-size runs per child bring
+        # every MEASURED pair to steady state (executor mode: the hi leg
+        # discards 4N/N passes for equal per-executor-JVM warm work —
+        # see _warm_passes); walls and the implied ratio are still
+        # recorded below for transparency.  No control legs here (cold
+        # controls would mis-ceiling their first pair).
+        w_lo_k, w_hi_k = _warm_passes(n_lo, n_hi)
+        warm_lo_walls = lo.run(f"RUN {w_lo_k}")["walls"]
+        warm_hi_walls = hi.run(f"RUN {w_hi_k}")["walls"]
+        warm_lo = warm_lo_walls[0]
+        # the LAST discarded hi wall is the best steady-state estimate
+        # for duration matching (still value-blind: chosen by position)
+        warm_hi = warm_hi_walls[-1]
         # DURATION-MATCHED hi leg (BENCH_LEG_MATCH=0 restores single-run):
         # the hi leg runs ceil(warm_lo/warm_hi) full passes per pair so
         # its measured window is at least as long as the lo leg's, and
@@ -493,10 +588,17 @@ def _pair_interleaved(
             [round(w, 1) for w in iters] for iters in walls_hi_iters
         ],
         "hi_leg_iters": k_hi,
-        # the discarded pre-registered warmup run per child (full input;
+        # the measurement shape: real separate executor JVMs (the north
+        # rule's unit) vs single-JVM thread scaling (BENCH_EXEC=0)
+        "scale_mode": "executors" if EXEC_MODE else "threads",
+        "master_n": _scale_master(n_lo) or f"local[{n_lo}]",
+        "master_4n": _scale_master(n_hi) or f"local[{n_hi}]",
+        # the discarded pre-registered warmup runs per child (full input;
         # excluded from every aggregate above by policy, not by value)
         "warmup_wall_n": round(warm_lo, 1),
         "warmup_wall_4n": round(warm_hi, 1),
+        "warmup_walls_n": [round(w, 1) for w in warm_lo_walls],
+        "warmup_walls_4n": [round(w, 1) for w in warm_hi_walls],
         "warmup_pair_efficiency": round((warm_lo / warm_hi) / ratio, 3),
         "turns_per_sec_n": round(turns / min(walls_lo), 1),
         "turns_per_sec_4n": round(turns / min(hi_raw), 1),
@@ -533,10 +635,24 @@ def main() -> None:
     path = _bench_table(N_CONVS)
     out["pipeline"] = {
         "note": (
-            "single-node thread scaling; per level one persistent child "
-            "(own SparkSession + 1/8-subset warmup + ONE pre-registered "
-            "discarded full-size warmup run, JMH-style — recorded as "
-            "warmup_wall_* / warmup_pair_efficiency but excluded from "
+            (
+                "EXECUTOR scaling (the north rule's unit): each level runs "
+                "local-cluster[N,1,mem] — N real separate executor JVMs "
+                "(1 core, constant per-executor heap) + a driver, real "
+                "netty shuffle, the whole tree pinned to N cpus.  The "
+                "r3/r4 single-JVM thread protocol (BENCH_EXEC=0) "
+                "understates executor scaling: profiling pinned a ~1.6x "
+                "per-task on-CPU inflation inside one wide-threaded JVM "
+                "(JFR-uniform, GC-knob-invariant) that 4 independent "
+                "JVMs on the same cpus do not pay (BASELINE.md).  "
+                if EXEC_MODE
+                else "single-node thread scaling (BENCH_EXEC=0); "
+            )
+            + "per level one persistent child "
+            "(own SparkSession + 1/8-subset warmup + pre-registered "
+            "discarded full-size warmup runs — 1 lo pass, 4N/N hi passes "
+            "in executor mode for equal per-executor-JVM warm work — "
+            "recorded as warmup_wall(s)_* but excluded from "
             "every aggregate by policy: the subset warmup leaves AQE "
             "re-planning, heap growth and stage-dir first-touch to the "
             "first full run, which both r5 campaigns measured "
@@ -716,7 +832,8 @@ def main() -> None:
 
 
 _COMPACT_PIPE_KEYS = (
-    "scale_n", "scale_4n", "scaling_efficiency", "pair_efficiencies",
+    "scale_mode", "scale_n", "scale_4n",
+    "scaling_efficiency", "pair_efficiencies",
     "hi_leg_iters", "pairs_measured",
     "wall_sec_n", "wall_sec_4n", "turns_per_sec_n",
     "turns_per_sec_4n", "warmup_pair_efficiency",

@@ -39,6 +39,43 @@ def test_hi_leg_iters_matches_lo_window(monkeypatch):
     assert bench._hi_leg_iters(360.0, 127.0) == 1
 
 
+def test_scale_master_shapes(monkeypatch):
+    # executor mode (default): real separate executor JVMs, 1 core each,
+    # constant per-executor worker memory across levels
+    monkeypatch.setattr(bench, "EXEC_MODE", True)
+    monkeypatch.setattr(bench, "EXEC_WORKER_MEM_MB", 7168)
+    assert bench._scale_master(1) == "local-cluster[1,1,7168]"
+    assert bench._scale_master(4) == "local-cluster[4,1,7168]"
+    # thread mode: None -> the child keeps its local[N] default
+    monkeypatch.setattr(bench, "EXEC_MODE", False)
+    assert bench._scale_master(1) is None
+
+
+def test_warm_passes_equal_per_executor_work(monkeypatch):
+    # executor mode: the hi leg discards 4N/N full passes so each of its
+    # separate executor JVMs JITs the same row volume as the lo leg's
+    # single executor gets from one pass (value-blind, core-ratio-fixed)
+    monkeypatch.setattr(bench, "EXEC_MODE", True)
+    assert bench._warm_passes(1, 4) == (1, 4)
+    assert bench._warm_passes(2, 8) == (1, 4)
+    # thread mode keeps the r4 single-discard protocol
+    monkeypatch.setattr(bench, "EXEC_MODE", False)
+    assert bench._warm_passes(1, 4) == (1, 1)
+
+
+def test_child_snippet_formats_for_both_modes():
+    # the snippet must stay format-clean for master=None and a
+    # local-cluster master (a KeyError/quoting bug here would only
+    # surface 10 minutes into a campaign)
+    for master in (None, "local-cluster[4,1,7168]"):
+        code = bench._CHILD_SNIPPET.format(
+            repo="/r", cores=4, path="/p", master=master, exec_mem="6g"
+        )
+        compile(code, "<bench-child>", "exec")
+        assert ('os.environ["SPARK_MASTER"]' in code)
+        assert ("local-cluster" in code) == (master is not None)
+
+
 def test_sandwich_split_centers_and_alternates():
     # even k: exact half on each side, every pair
     assert bench._sandwich_split(4, 0) == (2, 2)
