@@ -164,6 +164,7 @@ extra = {{"spark.sql.files.maxPartitionBytes": "2m",
 if master:
     # per-executor heap constant across levels — how a cluster scales out
     extra["spark.executor.memory"] = {exec_mem!r}
+extra.update(json.loads({extra_json!r}))
 spark = get_spark("tapes-bench-{cores}", parallelism={cores},
                   shuffle_partitions=2 * {cores},
                   extra_conf=extra)
@@ -233,11 +234,19 @@ class _BenchChild:
         path: str,
         cpuset: str | None = None,
         master: str | None = None,
+        extra_conf: dict | None = None,
     ):
         self.cores = cores
+        if extra_conf is None:
+            # session-conf override hook (JSON env) — used by the codec
+            # A/B tooling and available to campaigns without code edits
+            extra_conf = json.loads(
+                os.environ.get("BENCH_CHILD_EXTRA_CONF", "{}")
+            )
         code = _CHILD_SNIPPET.format(
             repo=REPO, cores=cores, path=path, master=master,
             exec_mem=EXEC_EXECUTOR_MEM,
+            extra_json=json.dumps(extra_conf),
         )
         self.err = tempfile.NamedTemporaryFile(
             mode="w+", prefix=f"bench_child_{cores}_", suffix=".log",

@@ -69,7 +69,8 @@ def test_child_snippet_formats_for_both_modes():
     # surface 10 minutes into a campaign)
     for master in (None, "local-cluster[4,1,7168]"):
         code = bench._CHILD_SNIPPET.format(
-            repo="/r", cores=4, path="/p", master=master, exec_mem="6g"
+            repo="/r", cores=4, path="/p", master=master, exec_mem="6g",
+            extra_json='{"spark.io.compression.codec": "zstd"}',
         )
         compile(code, "<bench-child>", "exec")
         assert ('os.environ["SPARK_MASTER"]' in code)
