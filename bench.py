@@ -157,7 +157,10 @@ if master:
     os.environ["SPARK_MASTER"] = master
 from tapes_spark.session import get_spark
 from tapes_spark.pipeline import run_pipeline, materialize_sinks
-stage = "/dev/shm/tapes_bench_stage_{cores}"
+# pid-suffixed: two children at the same core count (the codec A/B
+# tooling, or a stray concurrent bench) must never clobber each
+# other's in-flight stage writes
+stage = "/dev/shm/tapes_bench_stage_{cores}_" + str(os.getpid())
 shutil.rmtree(stage, ignore_errors=True)
 extra = {{"spark.sql.files.maxPartitionBytes": "2m",
           "spark.sql.files.openCostInBytes": "0"}}
