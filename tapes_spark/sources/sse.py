@@ -441,17 +441,28 @@ def reduce_sse_openai(
         f"type string, delta string, item {_RESPONSES_ITEM_DDL}, "
         f"response {_RESPONSES_OBJECT_DDL}"
     )
+    # ONE parse per event: project the parsed struct as a single column
+    # first, extract fields in a SECOND select.  Extracting fields inline
+    # in one select hands Catalyst four independent from_json expressions
+    # which the JSON schema-pruning rule specializes per field — four
+    # full lexes of the same payload per event (JsonToStructs is
+    # CodegenFallback, no CSE).  With the struct aliased and referenced
+    # more than once, CollapseProject keeps the boundary and the parse
+    # runs once (same pattern as reduce_sse above; plan-audited in
+    # PLANS.md round 5).
     j = F.from_json(F.col("data_json"), env_ddl)
     e = events.select(
+        *keys, "event_idx", "event_type", j.alias("j")
+    ).select(
         *keys,
         "event_idx",
         # data-only frames: the envelope's own type field IS the event type
-        F.coalesce(F.nullif(F.col("event_type"), F.lit("")), j["type"]).alias(
-            "etype"
-        ),
-        j["delta"].alias("delta"),
-        j["item"].alias("item"),
-        j["response"].alias("resp"),
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("")), F.col("j.type")
+        ).alias("etype"),
+        F.col("j.delta").alias("delta"),
+        F.col("j.item").alias("item"),
+        F.col("j.response").alias("resp"),
     )
     etype = F.col("etype")
     per_turn = e.groupBy(*keys).agg(
