@@ -199,6 +199,20 @@ for line in sys.stdin:
         walls = []
         for _i in range(k):
             shutil.rmtree(stage, ignore_errors=True)
+            # inter-pass hygiene, OUTSIDE the timed window: force a
+            # driver GC so the ContextCleaner (weak-ref driven) drops
+            # stale shuffle/broadcast state from prior passes before the
+            # next one starts.  A real cluster job never inherits a
+            # previous job's uncollected shuffle garbage; without this a
+            # long-lived child AGES — campaign 8's hi-leg walls climbed
+            # monotonically with pass count (101.7 -> 123.3s across 12
+            # passes; lo child at 4 passes held flat) and a controlled
+            # 12-pass A/B (plain vs GC-between-passes, same child)
+            # measured the GC half fastest-and-flattest of the run
+            # (95.8-110.4s vs 111.8-133.3s) with spark local dirs
+            # steady at ~280MB instead of accreting ~500MB/pass.
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
             t0 = time.time()
             res = run_pipeline(spark, tx, stage_dir=stage)
             materialize_sinks(res)
@@ -214,6 +228,9 @@ for line in sys.stdin:
         # the reported wall is PER ITERATION.
         k = int(cmd.split()[1]) if " " in cmd else 1
         shutil.rmtree(stage + "_ctl", ignore_errors=True)
+        # same inter-pass hygiene as RUN (untimed)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
         t0 = time.time()
         for _i in range(k):
             tx.repartition({cores}, "conv_id").write.mode(
