@@ -416,21 +416,39 @@ def _host_scaling_controls(n_lo: int, n_hi: int) -> dict:
     shared VM the available memory bandwidth varies by the hour; a
     bandwidth-bound pipeline can never thread-scale above (a), and (b)
     ~1.0 rules out CPU steal.  These numbers let the artifact ATTRIBUTE
-    a low pipeline ratio to the host's hour, not the plan."""
+    a low pipeline ratio to the host's hour, not the plan.
+
+    Three INTERLEAVED (lo, hi) reps per task with the scaling taken as
+    the median of per-rep ratios: these are ~5-20s workloads, so a
+    single host burst used to be able to land entirely inside one
+    level's window and record a nonsensical ratio (campaign 9's
+    one-shot cpu control hit 0.406 — 2.5x transient steal in one
+    minute — while the in-pair duration-matched ceiling in the same
+    campaign held 0.68-0.88).  Back-to-back lo/hi within a rep puts
+    both levels in the same minute; the median drops a single polluted
+    rep."""
     import multiprocessing as mp
 
     out = {}
     for name, task in (("membw", _membw_task), ("cpu", _cpu_task)):
-        per = {}
-        for n in (n_lo, n_hi):
-            with mp.Pool(n) as pool:
-                walls = pool.map(task, range(n))
-            per[n] = _median(walls)
-        out[f"host_{name}_per_proc_wall_n"] = round(per[n_lo], 2)
-        out[f"host_{name}_per_proc_wall_4n"] = round(per[n_hi], 2)
+        walls_lo: list[float] = []
+        walls_hi: list[float] = []
+        for _rep in range(3):
+            for n, acc in ((n_lo, walls_lo), (n_hi, walls_hi)):
+                with mp.Pool(n) as pool:
+                    walls = pool.map(task, range(n))
+                acc.append(_median(walls))
+        out[f"host_{name}_per_proc_wall_n"] = round(_median(walls_lo), 2)
+        out[f"host_{name}_per_proc_wall_4n"] = round(_median(walls_hi), 2)
         # per-process slowdown under n_hi-way concurrency == the ceiling
-        # any workload bound on that resource can thread-scale at
-        out[f"host_{name}_scaling"] = round(per[n_lo] / per[n_hi], 3)
+        # any workload bound on that resource can thread-scale at;
+        # median of per-rep (same-minute) ratios
+        out[f"host_{name}_scaling"] = round(
+            _median([lo / hi for lo, hi in zip(walls_lo, walls_hi)]), 3
+        )
+        out[f"host_{name}_rep_scalings"] = [
+            round(lo / hi, 3) for lo, hi in zip(walls_lo, walls_hi)
+        ]
     return out
 
 
