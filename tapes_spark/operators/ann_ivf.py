@@ -90,6 +90,7 @@ def ivf_train(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_fraction: float = 1.0,
 ) -> np.ndarray:
     """Spherical k-means centroids (n_clusters x dim, unit-norm rows).
 
@@ -99,7 +100,26 @@ def ivf_train(
     and a native sum folds them.  Driver traffic per iteration is the
     k x dim centroid matrix only.  Empty clusters keep their previous
     centroid (standard Lloyd fallback, deterministic).
+
+    ``train_fraction < 1.0`` is the 100-TB scale path: the quantizer
+    trains on a DETERMINISTIC hash sample of the corpus
+    (``pmod(xxhash64(seed, id), 1e6) < fraction * 1e6`` — order-
+    independent, reshuffle-stable, the same convention as every other
+    sampled operator here), which is the standard IVF contract (FAISS
+    trains coarse quantizers on a bounded sample): centroid quality
+    needs a representative sample, not every row, so train cost stops
+    scaling with the corpus while assignment stays exact and full.
+    Seed selection (init) draws from the same sample, so one filter
+    defines the whole train set.
     """
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
+    if train_fraction < 1.0:
+        denom = 1_000_000
+        embeddings = embeddings.filter(
+            F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(denom))
+            < int(train_fraction * denom)
+        )
     centroids = ivf_init_centroids(
         embeddings, n_clusters, seed, vec_col, id_col
     )
@@ -253,15 +273,19 @@ def ivf_cosine_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """One-shot IVF ANN: train + assign + probe in a single call.
 
     For repeated queries, train once (ivf_train), persist the
     assignments, and call ivf_topk — training is the expensive part and
-    is deterministic for a given corpus + seed.
+    is deterministic for a given corpus + seed.  ``train_fraction``
+    samples the TRAIN set only (see ivf_train); assignment, probe, and
+    re-rank always cover the full corpus.
     """
     centroids = ivf_train(
-        embeddings, n_clusters, n_iters, seed, vec_col, id_col
+        embeddings, n_clusters, n_iters, seed, vec_col, id_col,
+        train_fraction,
     )
     return ivf_topk(
         embeddings, query_vec, centroids, k, nprobe, vec_col, id_col
@@ -302,6 +326,7 @@ class IvfIndexTape:
         seed: int = 42,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        train_fraction: float = 1.0,
     ):
         from tapes_spark.tapelog.table import TapeTable
 
@@ -316,8 +341,12 @@ class IvfIndexTape:
         self.seed = seed
         self.vec_col = vec_col
         self.id_col = id_col
+        self.train_fraction = train_fraction
         self.config = (
             f"ivf-v1:dim={dim}:k={n_clusters}:iters={n_iters}:seed={seed}"
+            # appended only when sampling so pre-existing full-train
+            # tapes keep validating against their stored config
+            + (f":tf={train_fraction}" if train_fraction != 1.0 else "")
         )
 
     # ---------------------------------------------------------- build
@@ -382,7 +411,7 @@ class IvfIndexTape:
         if retrain or self.stored_config() != self.config:
             centroids = ivf_train(
                 embeddings, self.n_clusters, self.n_iters, self.seed,
-                self.vec_col, self.id_col,
+                self.vec_col, self.id_col, self.train_fraction,
             )
             self.cent_tape.overwrite(
                 self._centroid_rows(centroids),

@@ -214,3 +214,66 @@ class TestIvfIndexTape:
         )
         res = idx2.refresh(corpus)
         assert res["mode"] == "full"
+
+
+class TestSampledTrain:
+    """train_fraction < 1 (the 100-TB scale path): the quantizer trains
+    on a deterministic hash sample; assignment/probe/re-rank stay full
+    and exact, so the exhaustive configuration must STILL equal brute
+    force bit-for-bit regardless of centroid quality."""
+
+    def test_default_fraction_is_identity(self, corpus, centroids):
+        full = ann_ivf.ivf_train(
+            corpus, n_clusters=N_CLUSTERS, n_iters=N_ITERS, seed=42,
+            train_fraction=1.0,
+        )
+        assert np.array_equal(full, centroids)
+
+    def test_sampled_exhaustive_probe_equals_brute(self, corpus, qvec):
+        brute = brute_cosine_topk(corpus, qvec, k=10).collect()
+        ivf = ann_ivf.ivf_cosine_topk(
+            corpus, qvec, k=10, n_clusters=N_CLUSTERS,
+            nprobe=N_CLUSTERS, n_iters=N_ITERS, train_fraction=0.5,
+        ).collect()
+        assert [r.asDict() for r in ivf] == [r.asDict() for r in brute]
+
+    def test_sampled_train_deterministic_and_valid(self, corpus):
+        a = ann_ivf.ivf_train(
+            corpus, n_clusters=N_CLUSTERS, n_iters=N_ITERS, seed=42,
+            train_fraction=0.25,
+        )
+        b = ann_ivf.ivf_train(
+            corpus, n_clusters=N_CLUSTERS, n_iters=N_ITERS, seed=42,
+            train_fraction=0.25,
+        )
+        assert np.array_equal(a, b)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_fraction_validation(self, corpus):
+        for bad in (0.0, -0.1, 1.5):
+            with pytest.raises(ValueError):
+                ann_ivf.ivf_train(corpus, train_fraction=bad)
+
+    def test_index_tape_config_keyed_on_fraction(
+        self, spark, corpus, tmp_path
+    ):
+        dim = len(corpus.select("embedding").first()[0])
+        idx = ann_ivf.IvfIndexTape(
+            spark, str(tmp_path / "ivf_tf"), dim,
+            n_clusters=N_CLUSTERS, n_iters=N_ITERS,
+        )
+        idx.refresh(corpus)
+        # same tape root opened with a sampled config: full rebuild
+        idx2 = ann_ivf.IvfIndexTape(
+            spark, str(tmp_path / "ivf_tf"), dim,
+            n_clusters=N_CLUSTERS, n_iters=N_ITERS, train_fraction=0.5,
+        )
+        assert idx2.config != idx.config
+        res = idx2.refresh(corpus)
+        assert res["mode"] == "full"
+        # and the stored quantizer now matches the sampled train
+        want = ann_ivf.ivf_train(
+            corpus, n_clusters=N_CLUSTERS, n_iters=N_ITERS, seed=42,
+            train_fraction=0.5,
+        )
+        assert np.allclose(idx2.load_centroids(), want)
