@@ -863,6 +863,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=16,
         nprobe=16,
         n_iters=3,
+        # the production-scale config: the quantizer trains on a
+        # deterministic hash HALF of the corpus (ann_ivf.ivf_train —
+        # FAISS-style bounded-sample train); with nprobe == n_clusters
+        # the probe prunes nothing, so the exact-SQL oracle holds at
+        # ANY fraction while the query drives the sampled-train path
+        train_fraction=0.5,
     )
 
 
