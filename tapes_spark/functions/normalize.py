@@ -248,7 +248,8 @@ def normalize_model_col(c: Column) -> Column:
     date suffixes, rewrite trailing ``-D-D`` to ``-D.D``.
     """
     c = F.lower(F.trim(c))
-    c = F.regexp_replace(c, r"\[1m\]", "")
+    # literal replace — no regex matcher for a fixed substring
+    c = F.replace(c, F.lit("[1m]"), F.lit(""))
     c = F.regexp_replace(c, r"-\d{8}$", "")
     c = F.regexp_replace(c, r"-\d{4}-\d{2}-\d{2}$", "")
     c = F.regexp_replace(c, r"-(\d+)-(\d+)$", r"-$1.$2")

@@ -51,9 +51,13 @@ def with_first_capture(df: DataFrame, content_col: str = "text_norm") -> DataFra
     column: nothing downstream consumes it, and a stored sha256 hex
     string was 38% of the staged table's bytes (incompressible random
     hex written and bussed once per run for no reader; re-derivable from
-    text_norm at will).
+    text_norm at will).  r6: the key is xxhash64, not sha256 — it only
+    has to group identical content within ONE conversation, so an 8-byte
+    deterministic hash sorts ~8x cheaper than a 64-char hex string and
+    skips the SHA rounds per row (collision odds within a conversation
+    are ~n²/2⁶⁵ — vanishing at any real conversation size).
     """
-    content_hash = F.sha2(F.col(content_col), 256)
+    content_hash = F.xxhash64(F.col(content_col))
     # src_conv_id (present after the correction overlay) breaks (conv_id,
     # turn_idx) ties a conv-merging correction can create — without it the
     # first-capture pick is shuffle-nondeterministic on such rows
@@ -97,6 +101,18 @@ def pair_tool_calls(df: DataFrame) -> DataFrame:
 
     Returns columns: conv_id, turn_idx (call), tool, call_ts, call_text,
     result_turn_idx, result_ts, result_text, is_error, duration_ms.
+
+    r6 shape: pure windows, no self-join.  After ``call_turn_idx`` (the
+    most recent preceding call, running ``last`` over capture order) the
+    rows of one (conv_id, tool, call_turn_idx) group are exactly [call,
+    result₁, result₂, …], so the call's first result is ``min(struct(
+    turn_idx, ts, text))`` over that group — the struct min orders by
+    turn_idx first, which is the old row_number()-over-turn_idx pick.
+    The previous self-join form shuffled BOTH derivations of the frame on
+    (conv_id, tool, call_turn_idx) and sort-merged them (2 Exchanges + an
+    SMJ per pass); this form is two sorts over the already conv_id-
+    clustered input, zero joins and zero exchanges.  Only the five
+    consumed columns enter the window sorts (project-early, guide §2.3).
     """
     w = (
         Window.partitionBy("conv_id", "tool")
@@ -106,61 +122,36 @@ def pair_tool_calls(df: DataFrame) -> DataFrame:
     call = is_tool_call()
     marked = (
         df.filter((F.col("tool") != "") & (call | (F.col("role") == "tool")))
+        .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
         .withColumn(
             "call_turn_idx", F.last(F.when(call, F.col("turn_idx")), True).over(w)
         )
     )
-    results = marked.filter(
-        (F.col("role") == "tool") & F.col("call_turn_idx").isNotNull()
-    )
-    # first result per call wins (min turn_idx)
-    rw = Window.partitionBy("conv_id", "tool", "call_turn_idx").orderBy("turn_idx")
-    first_results = (
-        results.withColumn("rn", F.row_number().over(rw))
-        .filter(F.col("rn") == 1)
+    gw = Window.partitionBy("conv_id", "tool", "call_turn_idx")
+    is_res = (F.col("role") == "tool") & F.col("call_turn_idx").isNotNull()
+    first_res = F.min(
+        F.when(
+            is_res,
+            F.struct(
+                F.col("turn_idx").alias("result_turn_idx"),
+                F.col("ts").alias("result_ts"),
+                F.col("text").alias("result_text"),
+            ),
+        )
+    ).over(gw)
+    paired = (
+        marked.withColumn("_first_res", first_res)
+        .filter(call)
         .select(
             "conv_id",
+            "turn_idx",
             "tool",
-            "call_turn_idx",
-            F.col("turn_idx").alias("result_turn_idx"),
-            F.col("ts").alias("result_ts"),
-            F.col("text").alias("result_text"),
+            F.col("ts").alias("call_ts"),
+            F.col("text").alias("call_text"),
+            F.col("_first_res.result_turn_idx").alias("result_turn_idx"),
+            F.col("_first_res.result_ts").alias("result_ts"),
+            F.col("_first_res.result_text").alias("result_text"),
         )
-    )
-    calls = df.filter(call).select(
-        "conv_id",
-        "turn_idx",
-        "tool",
-        F.col("ts").alias("call_ts"),
-        F.col("text").alias("call_text"),
-    )
-    # rename the right side's keys to avoid a self-join ambiguity (both
-    # frames descend from the same scan)
-    fr = first_results.select(
-        F.col("conv_id").alias("r_conv_id"),
-        F.col("tool").alias("r_tool"),
-        "call_turn_idx",
-        "result_turn_idx",
-        "result_ts",
-        "result_text",
-    )
-    paired = calls.join(
-        fr,
-        on=[
-            calls["conv_id"] == fr["r_conv_id"],
-            calls["tool"] == fr["r_tool"],
-            calls["turn_idx"] == fr["call_turn_idx"],
-        ],
-        how="left",
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "tool",
-        "call_ts",
-        "call_text",
-        "result_turn_idx",
-        "result_ts",
-        "result_text",
     )
     return (
         paired.withColumn(
@@ -381,7 +372,7 @@ def _attach_verdicts_partition(batches):
         yield _attach_verdicts_pdf(carry)
 
 
-def attach_verdicts(df: DataFrame) -> DataFrame:
+def attach_verdicts(df: DataFrame, pre_clustered: bool = False) -> DataFrame:
     """J3 entry: partitioned mapInPandas fold.
 
     Two narrowing steps keep the Arrow transfer proportional to the (rare)
@@ -410,7 +401,9 @@ def attach_verdicts(df: DataFrame) -> DataFrame:
     )
     from tapes_spark.functions.partitioning import cluster_sorted
 
-    narrow = cluster_sorted(narrow, "conv_id", "turn_idx")
+    narrow = cluster_sorted(
+        narrow, "conv_id", "turn_idx", assume_clustered=pre_clustered
+    )
     return narrow.mapInPandas(
         _attach_verdicts_partition, schema=_VERDICT_ATTACH_SCHEMA
     )

@@ -45,6 +45,22 @@ def _extract_long(c: Column, pattern: str, group: int) -> Column:
     return F.when(s == "", None).otherwise(s.cast("long"))
 
 
+def _usage_field(
+    parts: Column, idx: int, key: str, body: Column, pattern: str
+) -> Column:
+    """One usage integer: fast path splits the (short) usage body on
+    spaces and reads field *idx* when it carries the expected ``key=``
+    prefix in well-formed order; any malformed/reordered body falls back
+    to the exact regex, so results are bit-identical to the regex-only
+    form (r6 bench: 4 anchored splits ~2x cheaper than 4 regex scans of
+    the body, and the fallback never fires on well-formed markers)."""
+    el = F.try_element_at(parts, F.lit(idx))
+    fast = F.when(
+        el.startswith(key), F.substring_index(el, "=", -1).try_cast("long")
+    )
+    return F.coalesce(fast, _extract_long(body, pattern, 1))
+
+
 def with_parsed_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add all parse-stage feature columns. Pure native expressions.
 
@@ -79,19 +95,34 @@ def with_parsed_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(model == "", None).otherwise(normalize_model_col(model)),
         )
         .withColumn("_usage", usage)
-        .withColumn("input_tokens", _extract_long(F.col("_usage"), r"in=(\d+)", 1))
+        .withColumn("_usage_parts", F.split(F.col("_usage"), " "))
         .withColumn(
-            "output_tokens", _extract_long(F.col("_usage"), r"out=(\d+)", 1)
+            "input_tokens",
+            _usage_field(
+                F.col("_usage_parts"), 1, "in=", F.col("_usage"), r"in=(\d+)"
+            ),
+        )
+        .withColumn(
+            "output_tokens",
+            _usage_field(
+                F.col("_usage_parts"), 2, "out=", F.col("_usage"), r"out=(\d+)"
+            ),
         )
         .withColumn(
             "cache_read_tokens",
-            _extract_long(F.col("_usage"), r"cache_read=(\d+)", 1),
+            _usage_field(
+                F.col("_usage_parts"), 3, "cache_read=",
+                F.col("_usage"), r"cache_read=(\d+)",
+            ),
         )
         .withColumn(
             "cache_write_tokens",
-            _extract_long(F.col("_usage"), r"cache_write=(\d+)", 1),
+            _usage_field(
+                F.col("_usage_parts"), 4, "cache_write=",
+                F.col("_usage"), r"cache_write=(\d+)",
+            ),
         )
-        .drop("_usage")
+        .drop("_usage", "_usage_parts")
         .withColumn(
             "stop_reason",
             F.when(
@@ -127,10 +158,12 @@ def with_parsed_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .withColumn(
+            # contains() pair == rlike("git (commit|push)") exactly, at
+            # plain-substring-scan cost instead of a regex matcher per row
             "is_git_activity",
             (F.col("role") == "assistant")
             & (F.col("tool").isin("Bash", "exec", "exec_command", "shell",
                                   "shell_command"))
-            & t.rlike(GIT_ACTIVITY_RE),
+            & (t.contains("git commit") | t.contains("git push")),
         )
     )

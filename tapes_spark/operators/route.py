@@ -66,10 +66,20 @@ def conversation_tape(enriched: DataFrame) -> DataFrame:
     )
 
 
-def tool_tape(enriched: DataFrame, tool_dim_df: DataFrame) -> DataFrame:
-    """One row per tool call, paired + display-normalized."""
+def tool_tape(enriched: DataFrame, tool_dim_df: DataFrame | None = None) -> DataFrame:
+    """One row per tool call, paired + display-normalized.
+
+    ``tool_dim_df=None`` uses the static TOOL_DIM_ROWS as a literal-map
+    lookup (no broadcast join; parity-gated vs the join path)."""
+    from tapes_spark.operators.enrich import enrich_tool_static
+
     paired = pair_tool_calls(enriched)
-    return enrich_tool(paired, tool_dim_df).select(
+    enriched_tools = (
+        enrich_tool_static(paired)
+        if tool_dim_df is None
+        else enrich_tool(paired, tool_dim_df)
+    )
+    return enriched_tools.select(
         "conv_id",
         "turn_idx",
         "tool",

@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from tapes_spark import dims as dims_mod
 from tapes_spark.functions.normalize import (
     normalize_whitespace_col,
     normalized_and_preview_cols,
@@ -44,7 +43,10 @@ from tapes_spark.operators import aggregate as agg
 from tapes_spark.operators import route
 from tapes_spark.operators.classify import with_call_kind
 from tapes_spark.operators.dropreason import with_drop_reason
-from tapes_spark.operators.enrich import enrich_pricing, enrich_role
+from tapes_spark.operators.enrich import (
+    enrich_pricing_static,
+    enrich_role_static,
+)
 from tapes_spark.functions.hashing import chain_hashes
 from tapes_spark.operators.links import link_tape
 from tapes_spark.operators.joins import (
@@ -115,10 +117,11 @@ def build_enriched(
     )
     normalized = tagged.unionByName(plain)
     classified = with_call_kind(normalized)
-    enriched = enrich_pricing(
-        enrich_role(classified, dims_mod.role_dim(spark)),
-        dims_mod.pricing_dim(spark),
-    )
+    # static dims as literal-map lookups: two BroadcastHashJoins (and
+    # their dim-side jobs + broadcast exchanges) fold into the map
+    # stage's whole-stage codegen (r6; parity vs the join path is gated
+    # by tests/test_enrich_static.py)
+    enriched = enrich_pricing_static(enrich_role_static(classified))
     # Column diet BEFORE the wide exchange: past enrichment, raw `text`
     # is read only by the tool pairing (call/result text), the verdict
     # matcher (tool calls, <transcript> user turns, checks), and the
@@ -149,6 +152,31 @@ def build_enriched(
     return ordered, quarantined
 
 
+def _stage_bucketed(
+    spark: SparkSession, df: DataFrame, stage_dir: str, name: str
+) -> DataFrame:
+    """Materialize *df* under ``{stage_dir}/{name}`` as a conv_id-bucketed,
+    (conv_id, turn_idx)-sorted external table and return the re-read frame.
+
+    The table name is deterministic per (stage_dir, name), so repeated
+    passes over the same stage_dir overwrite in place (no catalog
+    accretion in persistent bench children / incremental drains)."""
+    import hashlib
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tag = hashlib.md5(stage_dir.encode()).hexdigest()[:10]
+    table = f"tapes_stage_{name}_{tag}"
+    (
+        df.write.mode("overwrite")
+        .option("path", f"{stage_dir}/{name}")
+        .bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -174,19 +202,29 @@ def run_pipeline(
         transcripts = apply_corrections(transcripts, corrections)
     enriched, quarantined = build_enriched(spark, transcripts)
     if stage_dir:
-        enriched.write.mode("overwrite").parquet(f"{stage_dir}/enriched")
-        enriched = spark.read.parquet(f"{stage_dir}/enriched")
+        # r6: the stage tables are written BUCKETED by conv_id (sorted by
+        # conv_id, turn_idx) instead of plain parquet.  A plain staged
+        # parquet loses the conv_id partitioning on re-read, so every one
+        # of the nine sink jobs re-shuffled (and re-sorted) the corpus;
+        # a bucketed scan carries HashPartitioning(conv_id) — the same
+        # clustering every sink window/groupBy keys on — so those
+        # exchanges vanish (guide §2.4).  Bucket count == the shuffle
+        # partition count the enriched frame is already hash-partitioned
+        # to, so the bucketed write itself needs no extra shuffle and
+        # lands exactly one file per bucket (which also lets Spark trust
+        # the per-bucket sort order and skip window sorts on conv_id,
+        # turn_idx).  This is the local-mode shape of the 100 TB design
+        # (conv_id-bucketed Iceberg stage table).
+        enriched = _stage_bucketed(spark, enriched, stage_dir, "enriched")
     elif persist:
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
-    tool_dim_df = dims_mod.tool_dim(spark)
-    tool_tape = route.tool_tape(enriched, tool_dim_df)
+    tool_tape = route.tool_tape(enriched)
     if stage_dir:
         # stage the tool tape too: three sinks consume it, and concurrent
         # sink jobs would otherwise race to fill (and redundantly compute)
         # a lazy cache
-        tool_tape.write.mode("overwrite").parquet(f"{stage_dir}/tool_tape")
-        tool_tape = spark.read.parquet(f"{stage_dir}/tool_tape")
+        tool_tape = _stage_bucketed(spark, tool_tape, stage_dir, "tool_tape")
     elif persist:
         tool_tape = tool_tape.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -205,7 +243,9 @@ def run_pipeline(
             sinks["conv_aggregates"], session_meta
         )
     if with_verdict_attach:
-        va = attach_verdicts(enriched)
+        # staged frames are conv_id-bucketed scans: the folds' guard
+        # exchange (functions/partitioning.py) is provably unnecessary
+        va = attach_verdicts(enriched, pre_clustered=bool(stage_dir))
         if persist or stage_dir:
             # link_tape embeds this subtree for its verdict links; without
             # a persist the whole matcher fold runs TWICE (once per sink
@@ -220,7 +260,9 @@ def run_pipeline(
     sinks["plan_attachments"] = attach_asof(enriched, "plan", ["ExitPlanMode"])
     # P11: the per-turn merkle chain tape (one row per valid turn) — wired
     # as a first-class sink so its cost is part of every pipeline bench
-    sinks["chain_tape"] = chain_hashes(enriched)
+    sinks["chain_tape"] = chain_hashes(
+        enriched, pre_clustered=bool(stage_dir)
+    )
     # the span-links dataflow graph (emits/feeds/compaction-seam/verdict);
     # with the J6 reconcile side-inputs the sink is the FULL union — every
     # declared LINK_KIND (rejoin + orphan-thread included) reaches the

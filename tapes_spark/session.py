@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # Fall back from whole-stage codegen exactly where HotSpot's JIT
+        # would refuse the generated method anyway: the JVM never JIT-
+        # compiles methods over 8000 bytecodes (-XX:DontCompileHugeMethods),
+        # so a 8KB-64KB generated stage runs as INTERPRETED bytecode —
+        # measured 2x slower than Spark's non-codegen path on the wide
+        # parse/classify projections (r6: enriched fragment 16.2s -> 8.5s
+        # at 32 cores).  Spark's default (65535) only avoids the hard
+        # JVM limit, not the JIT one.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
