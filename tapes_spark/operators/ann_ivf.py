@@ -120,11 +120,18 @@ def ivf_train(
             F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(denom))
             < int(train_fraction * denom)
         )
-    centroids = ivf_init_centroids(
-        embeddings, n_clusters, seed, vec_col, id_col
-    )
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
-    vecs = embeddings.select(id_col, vec_col).repartition(n_parts, id_col)
+    # persist the (narrow) train set across the seed scan + Lloyd
+    # iterations: without it every iteration (and the init scan) re-reads
+    # the corpus parquet, re-applies the sample filter and re-shuffles —
+    # (n_iters + 1) scans instead of one (r6; an intra-query
+    # intermediate, released before returning)
+    vecs = (
+        embeddings.select(id_col, vec_col)
+        .repartition(n_parts, id_col)
+        .persist()
+    )
+    centroids = ivf_init_centroids(vecs, n_clusters, seed, vec_col, id_col)
     partial_schema = StructType(
         [
             StructField("cluster", IntegerType()),
@@ -182,6 +189,7 @@ def ivf_train(
         nonempty = counts > 0
         centroids = centroids.copy()
         centroids[nonempty] = _normalized(sums[nonempty])
+    vecs.unpersist()
     return centroids
 
 

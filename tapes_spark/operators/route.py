@@ -40,7 +40,14 @@ def conversation_tape(enriched: DataFrame) -> DataFrame:
         F.min_by(
             F.when(
                 (F.col("call_kind") == "prompt") & (F.col("text_norm") != ""),
-                F.substring(F.col("text_preview"), 1, PREVIEW_CHARS),
+                # text_preview is stored only where the preview policy
+                # diverges from text_norm (tagged rows); elsewhere it is
+                # NULL and the preview IS text_norm (see build_enriched)
+                F.substring(
+                    F.coalesce(F.col("text_preview"), F.col("text_norm")),
+                    1,
+                    PREVIEW_CHARS,
+                ),
             ),
             F.when(
                 (F.col("call_kind") == "prompt") & (F.col("text_norm") != ""),

@@ -107,13 +107,19 @@ def build_enriched(
     tagged = (
         parsed.filter(maybe_tagged)
         .withColumn("text_norm", text_norm)
-        .withColumn("text_preview", text_preview)
+        .withColumn("text_preview", F.substring(text_preview, 1, 120))
     )
     ws_only = normalize_whitespace_col(F.col("text"))
+    # On the untagged branch the preview policy IS the norm policy (both
+    # reduce to whitespace normalization), so text_preview would be a
+    # byte-identical copy of text_norm — store NULL instead and let the
+    # single consumer reconstruct it (route.conversation_tape coalesces
+    # to substring(text_norm, 1, 120)).  The column was ~25% of the
+    # staged bytes and of the wide exchange (r6, guide §2.3).
     plain = (
         parsed.filter(~maybe_tagged)
         .withColumn("text_norm", ws_only)
-        .withColumn("text_preview", ws_only)
+        .withColumn("text_preview", F.lit(None).cast("string"))
     )
     normalized = tagged.unionByName(plain)
     classified = with_call_kind(normalized)
@@ -138,8 +144,6 @@ def build_enriched(
     )
     enriched = enriched.withColumn(
         "text", F.when(keep_raw, F.col("text"))
-    ).withColumn(
-        "text_preview", F.substring("text_preview", 1, 120)
     )
     # explicit partition count: column-only repartition lets AQE coalesce
     # to ~64MB advisory partitions, capping downstream parallelism below
