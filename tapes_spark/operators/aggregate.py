@@ -74,15 +74,14 @@ def with_traces(df: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------- A1 traces
 
-def trace_rollup(df: DataFrame) -> DataFrame:
-    """A1: one row per (conv_id, trace). llm turns = assistant turns with a
-    usage marker; main_* restricted to call_kind='main'."""
+def trace_rollup_aggs() -> list:
+    """The A1 aggregate list, exposed so composite sinks (r6:
+    route.conversation_tape) can fuse these into ONE groupBy with their
+    own aggregates instead of aggregating the corpus twice and joining."""
     is_llm = F.col("input_tokens").isNotNull()
     is_main = is_llm & (F.col("call_kind") == "main")
     zero = F.lit(0).cast("long")
-    return (
-        df.groupBy("conv_id", "trace_num", "trace_id")
-        .agg(
+    return [
             F.count("*").alias("turn_count"),
             F.coalesce(F.sum(F.when(is_llm, F.col("input_tokens"))), zero).alias(
                 "total_input_tokens"
@@ -108,7 +107,15 @@ def trace_rollup(df: DataFrame) -> DataFrame:
             F.min("ts").alias("started_at"),
             F.max("ts").alias("ended_at"),
             F.count(F.when(F.col("tool") != "", 1)).alias("tool_turns"),
-        )
+    ]
+
+
+def trace_rollup(df: DataFrame) -> DataFrame:
+    """A1: one row per (conv_id, trace). llm turns = assistant turns with a
+    usage marker; main_* restricted to call_kind='main'."""
+    return (
+        df.groupBy("conv_id", "trace_num", "trace_id")
+        .agg(*trace_rollup_aggs())
         .withColumn(
             "duration_ms",
             (F.col("ended_at").cast("double") - F.col("started_at").cast("double"))

@@ -34,9 +34,16 @@ def conversation_tape(enriched: DataFrame) -> DataFrame:
     user_prompt = the trace-opening genuine prompt (J14 ordering: genuine
     first, then earliest); response_preview = last main assistant text in
     the trace (A10 reverse scan).
+
+    r6: ONE groupBy carries both the A1 rollup aggregates and the preview
+    picks — trace_id is functionally dependent on (conv_id, trace_num),
+    so the old rollup ⋈ previews pair aggregated the corpus twice and
+    joined two identical groupings back together (an always-matching
+    left join).  Fusing halves the aggregation passes and removes the
+    join outright (guide §2.4).
     """
-    rollup = agg.trace_rollup(enriched)
-    previews = enriched.groupBy("conv_id", "trace_num").agg(
+    fused = enriched.groupBy("conv_id", "trace_num", "trace_id").agg(
+        *agg.trace_rollup_aggs(),
         F.min_by(
             F.when(
                 (F.col("call_kind") == "prompt") & (F.col("text_norm") != ""),
@@ -68,8 +75,18 @@ def conversation_tape(enriched: DataFrame) -> DataFrame:
             "has_compaction"
         ),
     )
-    return rollup.join(previews, ["conv_id", "trace_num"], "left").withColumn(
-        "synthetic", F.col("trace_num") == 0
+    # column order preserved from the pre-fusion rollup ⋈ previews shape
+    return fused.withColumn(
+        "duration_ms",
+        (F.col("ended_at").cast("double") - F.col("started_at").cast("double"))
+        * 1000.0,
+    ).select(
+        "conv_id", "trace_num", "trace_id", "turn_count",
+        "total_input_tokens", "total_output_tokens", "main_input_tokens",
+        "main_output_tokens", "cache_read_tokens", "cache_creation_tokens",
+        "total_cost_usd", "started_at", "ended_at", "tool_turns",
+        "duration_ms", "user_prompt", "response_preview", "has_compaction",
+        (F.col("trace_num") == 0).alias("synthetic"),
     )
 
 
