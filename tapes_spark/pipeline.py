@@ -104,8 +104,17 @@ def build_enriched(
     # a when()-gate would not avoid the transfer — a filter does.
     maybe_tagged = F.coalesce(F.col("text").contains("<"), F.lit(False))
     text_norm, text_preview = normalized_and_preview_cols(F.col("text"))
+    # Coalesce the tagged branch to the core count before the Arrow UDF:
+    # under the bench's small input splits the branch otherwise runs as
+    # ~190 tiny tasks and EVERY task pays the Arrow python-runner setup
+    # (~50 ms each — measured 14.5 s -> 4.7 s for the whole branch on a
+    # 1-core executor, with the UDF body itself at ~0.3 s).  Coalesce is
+    # narrow (no shuffle) and the branch feeds the conv_id exchange
+    # anyway, so its partitioning is free to collapse (guide §4.1/§6).
+    n_slots = max(1, spark.sparkContext.defaultParallelism)
     tagged = (
         parsed.filter(maybe_tagged)
+        .coalesce(n_slots)
         .withColumn("text_norm", text_norm)
         .withColumn("text_preview", F.substring(text_preview, 1, 120))
     )
