@@ -412,6 +412,43 @@ def tasks_fold(tool_tape: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------ A5 status
 
+def conv_status_aggs() -> list:
+    """The A5 per-conv aggregate list (see :func:`conv_status`), exposed
+    for the fused conv_aggregates pass (r6)."""
+    return [
+        F.max(F.col("is_git_activity").cast("int")).alias("has_git"),
+        F.max_by(
+            F.col("stop_reason"),
+            F.when(F.col("call_kind") == "main", F.col("turn_idx")),
+        ).alias("terminal_main_stop"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+    ]
+
+
+def tool_error_counts(tool_tape: DataFrame) -> DataFrame:
+    """Per-conv tool result/error tallies (A5 input half over tool_tape)."""
+    return tool_tape.groupBy("conv_id").agg(
+        F.count(F.when(F.col("result_turn_idx").isNotNull(), 1)).alias(
+            "tool_result_count"
+        ),
+        F.count(F.when(F.col("is_error"), 1)).alias("tool_error_count"),
+    )
+
+
+def status_ladder_col():
+    """The A5 status when-chain over the joined per-conv columns."""
+    return (
+        F.when(F.col("has_git") == 1, "completed")
+        .when(
+            F.col("tool_error_count") * 2 > F.col("tool_result_count"), "failed"
+        )
+        .when(F.col("terminal_main_stop") == "error", "failed")
+        .when(F.col("terminal_main_stop").isin(*TERMINAL_OK_STOPS), "completed")
+        .when(F.col("last_role") != "assistant", "abandoned")
+        .otherwise("unknown")
+    )
+
+
 def conv_status(df: DataFrame, tool_tape: DataFrame) -> DataFrame:
     """A5 ladder over the terminal main turn + tool error rates:
 
@@ -422,22 +459,10 @@ def conv_status(df: DataFrame, tool_tape: DataFrame) -> DataFrame:
       5. last turn not assistant                   -> abandoned
       6. else                                      -> unknown
     """
-    tool_counts = tool_tape.groupBy("conv_id").agg(
-        F.count(F.when(F.col("result_turn_idx").isNotNull(), 1)).alias(
-            "tool_result_count"
-        ),
-        F.count(F.when(F.col("is_error"), 1)).alias("tool_error_count"),
-    )
+    tool_counts = tool_error_counts(tool_tape)
     # terminal picks as max_by hash aggregates (partial-agg friendly) rather
     # than full-partition windows — same semantics, no per-conv sort
-    per_conv = df.groupBy("conv_id").agg(
-        F.max(F.col("is_git_activity").cast("int")).alias("has_git"),
-        F.max_by(
-            F.col("stop_reason"),
-            F.when(F.col("call_kind") == "main", F.col("turn_idx")),
-        ).alias("terminal_main_stop"),
-        F.max_by("role", "turn_idx").alias("last_role"),
-    )
+    per_conv = df.groupBy("conv_id").agg(*conv_status_aggs())
     j = per_conv.join(tool_counts, "conv_id", "left").fillna(
         {"tool_result_count": 0, "tool_error_count": 0}
     )
@@ -446,31 +471,26 @@ def conv_status(df: DataFrame, tool_tape: DataFrame) -> DataFrame:
         "tool_result_count",
         "tool_error_count",
         (F.col("has_git") == 1).alias("has_git_activity"),
-        F.when(F.col("has_git") == 1, "completed")
-        .when(
-            F.col("tool_error_count") * 2 > F.col("tool_result_count"), "failed"
-        )
-        .when(F.col("terminal_main_stop") == "error", "failed")
-        .when(F.col("terminal_main_stop").isin(*TERMINAL_OK_STOPS), "completed")
-        .when(F.col("last_role") != "assistant", "abandoned")
-        .otherwise("unknown")
-        .alias("status"),
+        status_ladder_col().alias("status"),
     )
 
 
 # ----------------------------------------------------------- A6 rollup
 
-def conv_rollup(df: DataFrame) -> DataFrame:
-    """A6: conversation totals + derived_model = mode of main llm models
-    (GROUP BY model ORDER BY count DESC, model LIMIT 1 — spans.sql:210-262)
-    + latency-delta stats over ts (the north_rule's lag() deltas)."""
+def _with_latency(df: DataFrame) -> DataFrame:
     lag_w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    with_delta = df.withColumn(
+    return df.withColumn(
         "latency_ms",
         (F.col("ts").cast("double") - F.lag("ts").over(lag_w).cast("double"))
         * 1000.0,
     )
-    base = with_delta.groupBy("conv_id").agg(
+
+
+def conv_rollup_aggs() -> list:
+    """The A6 base aggregate list (input must carry ``latency_ms`` —
+    :func:`_with_latency`), exposed so route.conv_aggregates can fuse
+    these with the A5 per-conv aggregates into ONE pass (r6)."""
+    return [
         F.count("*").alias("turn_count"),
         F.max("trace_num").alias("trace_count"),
         F.sum("input_tokens").alias("total_input_tokens"),
@@ -484,8 +504,20 @@ def conv_rollup(df: DataFrame) -> DataFrame:
         F.round(F.avg("latency_ms"), 3).alias("latency_ms_avg"),
         F.round(F.max("latency_ms"), 3).alias("latency_ms_max"),
         F.count(F.when(F.col("tool") != "", 1)).alias("tool_turn_count"),
-    )
-    # derived_model: mode over main llm turns
+    ]
+
+
+def conv_rollup(df: DataFrame) -> DataFrame:
+    """A6: conversation totals + derived_model = mode of main llm models
+    (GROUP BY model ORDER BY count DESC, model LIMIT 1 — spans.sql:210-262)
+    + latency-delta stats over ts (the north_rule's lag() deltas)."""
+    base = _with_latency(df).groupBy("conv_id").agg(*conv_rollup_aggs())
+    return base.join(conv_derived_model(df), "conv_id", "left")
+
+
+def conv_derived_model(df: DataFrame) -> DataFrame:
+    """derived_model = mode of main llm models per conv (count DESC,
+    model ASC — spans.sql:210-262)."""
     main_models = (
         df.filter((F.col("call_kind") == "main") & F.col("model_norm").isNotNull())
         .groupBy("conv_id", "model_norm")
@@ -494,12 +526,11 @@ def conv_rollup(df: DataFrame) -> DataFrame:
     mw = Window.partitionBy("conv_id").orderBy(
         F.col("count").desc(), F.col("model_norm").asc()
     )
-    derived = (
+    return (
         main_models.withColumn("rn", F.row_number().over(mw))
         .filter(F.col("rn") == 1)
         .select("conv_id", F.col("model_norm").alias("derived_model"))
     )
-    return base.join(derived, "conv_id", "left")
 
 
 # ----------------------------------------------------------- A7 window

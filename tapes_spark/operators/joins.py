@@ -224,7 +224,7 @@ def _normalize_action(s: str) -> str:
     return " ".join(s.lower().split())
 
 
-def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def _attach_verdicts_rows(rows: list[dict]) -> list[tuple]:
     """Per-conversation consume-once matcher with stage grouping and
     thread-scoped matching (attach.go:38-108):
 
@@ -241,9 +241,10 @@ def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     A check's judged action is the ``<transcript>`` body of its latest
     preceding user turn; overlap is the normalized 22-char substring in
     either direction (attach.go:238-274).
+
+    *rows* are one conversation's relevant rows in (turn_idx[,
+    src_conv_id]) capture order (the partition sort guarantees it).
     """
-    pdf = pdf.sort_values("turn_idx")
-    rows = pdf.to_dict("records")
     tool_calls: list[dict] = []  # unconsumed candidates, in order
     checks: list[dict] = []
     last_transcript: str | None = None
@@ -332,44 +333,48 @@ def _attach_verdicts_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                  c["disposition"], c["stage"])
             )
     out.sort(key=lambda t: t[1])
-    return pd.DataFrame(
-        out,
-        columns=["conv_id", "check_turn_idx", "tool_turn_idx",
-                 "disposition", "check_stage"],
-    )
+    return out
+
+
+_VERDICT_OUT_COLS = ["conv_id", "check_turn_idx", "tool_turn_idx",
+                     "disposition", "check_stage"]
 
 
 def _attach_verdicts_partition(batches):
-    """mapInPandas fold: whole Arrow batches, one pandas groupby per batch,
-    with carry-over buffering so a conversation straddling a batch
-    boundary folds exactly once.  Per-GROUP applyInPandas overhead
-    (~0.5ms x 10^4-10^5 conversations) dominated the sink at scale; this
-    path pays per-BATCH overhead instead."""
+    """mapInPandas fold: one ``to_dict("records")`` per Arrow batch, then
+    a LINEAR conv-boundary scan calling the per-conversation matcher on
+    plain row slices, with carry-over so a conversation straddling a
+    batch boundary folds exactly once.  Earlier forms paid per-GROUP
+    overhead (applyInPandas ~0.5 ms/group, then r5's pandas
+    groupby.apply ~0.15 ms/group over 10^4-10^5 conversations); this
+    pays one pandas conversion per BATCH and pure-python slicing per
+    conversation (r6)."""
     import pandas as pd
 
-    carry: pd.DataFrame | None = None
-    carry_conv = None
+    carry: list[dict] = []
     for pdf in batches:
         if pdf.empty:
             continue
-        if carry is not None:
-            if pdf["conv_id"].iloc[0] == carry_conv:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            else:
-                yield _attach_verdicts_pdf(carry)
-            carry = None
-        last_conv = pdf["conv_id"].iloc[-1]
-        tail = pdf[pdf["conv_id"] == last_conv]
-        head = pdf[pdf["conv_id"] != last_conv]
-        if not head.empty:
-            out = head.groupby("conv_id", sort=False, group_keys=False).apply(
-                _attach_verdicts_pdf
-            )
-            if not out.empty:
-                yield out.reset_index(drop=True)
-        carry, carry_conv = tail.copy(), last_conv
-    if carry is not None and not carry.empty:
-        yield _attach_verdicts_pdf(carry)
+        rows = pdf.to_dict("records")
+        if carry and rows[0]["conv_id"] != carry[0]["conv_id"]:
+            done = _attach_verdicts_rows(carry)
+            carry = []
+            if done:
+                yield pd.DataFrame(done, columns=_VERDICT_OUT_COLS)
+        rows = carry + rows
+        results: list[tuple] = []
+        start = 0
+        for i in range(1, len(rows)):
+            if rows[i]["conv_id"] != rows[start]["conv_id"]:
+                results.extend(_attach_verdicts_rows(rows[start:i]))
+                start = i
+        carry = rows[start:]
+        if results:
+            yield pd.DataFrame(results, columns=_VERDICT_OUT_COLS)
+    if carry:
+        done = _attach_verdicts_rows(carry)
+        if done:
+            yield pd.DataFrame(done, columns=_VERDICT_OUT_COLS)
 
 
 def attach_verdicts(df: DataFrame, pre_clustered: bool = False) -> DataFrame:

@@ -169,14 +169,41 @@ def conv_aggregates(
     one row per conversation (the sessions-table analog)."""
     from tapes_spark.operators.sessions import with_titles
 
-    rollup = agg.conv_rollup(enriched)
-    status = agg.conv_status(enriched, tool_tape_df)
+    # r6: the A6 base rollup and the A5 per-conv terminal picks are both
+    # plain groupBy(conv_id) aggregates over enriched — fused into ONE
+    # pass (the standalone conv_rollup / conv_status operators share the
+    # same agg lists, so semantics are identical by construction); the
+    # status ladder is then a projection over the joined tool counts
+    # instead of a second corpus aggregation + join.
+    fused = (
+        agg._with_latency(enriched)
+        .groupBy("conv_id")
+        .agg(*agg.conv_rollup_aggs(), *agg.conv_status_aggs())
+    )
+    rollup_cols = [
+        "conv_id", "turn_count", "trace_count", "total_input_tokens",
+        "total_output_tokens", "total_cost_usd", "started_at",
+        "last_seen_at", "latency_ms_min", "latency_ms_avg",
+        "latency_ms_max", "tool_turn_count",
+    ]
+    rollup_status = (
+        fused.join(agg.conv_derived_model(enriched), "conv_id", "left")
+        .join(agg.tool_error_counts(tool_tape_df), "conv_id", "left")
+        .fillna({"tool_result_count": 0, "tool_error_count": 0})
+        .select(
+            *rollup_cols,
+            "derived_model",
+            "tool_result_count",
+            "tool_error_count",
+            (F.col("has_git") == 1).alias("has_git_activity"),
+            agg.status_ladder_col().alias("status"),
+        )
+    )
     kinds = agg.kind_counts(enriched)
     usage = agg.model_usage_folded(enriched)
     tasks = agg.tasks_fold(tool_tape_df)
     joined = (
-        rollup.join(status, "conv_id", "left")
-        .join(kinds, "conv_id", "left")
+        rollup_status.join(kinds, "conv_id", "left")
         .join(usage, "conv_id", "left")
         .join(tasks, "conv_id", "left")
         .withColumn("n_tasks", F.coalesce(F.col("n_tasks"), F.lit(0)))
