@@ -124,10 +124,13 @@ def with_parsed_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_usage", "_usage_parts")
         .withColumn(
+            # nullif evaluates the extract ONCE — the when(extract != "",
+            # extract) form relied on subexpression elimination to avoid a
+            # second full-text regex scan per assistant row
             "stop_reason",
             F.when(
-                is_assistant & (F.regexp_extract(t, STOP_RE, 1) != ""),
-                F.regexp_extract(t, STOP_RE, 1),
+                is_assistant,
+                F.nullif(F.regexp_extract(t, STOP_RE, 1), F.lit("")),
             ),
         )
         .withColumn(

@@ -166,10 +166,19 @@ def conv_aggregates(
     enriched: DataFrame, tool_tape_df: DataFrame
 ) -> DataFrame:
     """A6 rollup + A5 status + A3 kind counts + A2 model usage + A4 tasks,
-    one row per conversation (the sessions-table analog)."""
+    one row per conversation (the sessions-table analog).
+
+    r6 note — a deeper fusion (ONE (conv_id, call_kind, model_norm) base
+    aggregation feeding every branch, materialized via localCheckpoint)
+    was built, parity-verified and MEASURED OUT: the sink is consumed via
+    count()-shaped actions whose column pruning already strips the
+    redundant aggregate work this shape pays for (old 1.14 s vs fused
+    1.27-1.36 s per 1-core quarter-corpus job), and the checkpoint
+    barrier that shares the base across branches also BLOCKS that
+    pruning (6x regression).  Separate prunable aggregations win here."""
     from tapes_spark.operators.sessions import with_titles
 
-    # r6: the A6 base rollup and the A5 per-conv terminal picks are both
+    # the A6 base rollup and the A5 per-conv terminal picks are both
     # plain groupBy(conv_id) aggregates over enriched — fused into ONE
     # pass (the standalone conv_rollup / conv_status operators share the
     # same agg lists, so semantics are identical by construction); the

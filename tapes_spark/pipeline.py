@@ -228,7 +228,24 @@ def run_pipeline(
         # the per-bucket sort order and skip window sorts on conv_id,
         # turn_idx).  This is the local-mode shape of the 100 TB design
         # (conv_id-bucketed Iceberg stage table).
-        enriched = _stage_bucketed(spark, enriched, stage_dir, "enriched")
+        #
+        # trace_id is a pure derivation of (conv_id, trace_num) — writing
+        # it would add a ~26-char string per corpus row to the staged
+        # parquet (encode + decode + bytes) for a column every reader can
+        # reconstitute with one concat (guide §2.3: stage keys and
+        # metadata, not derivable payloads).  Reconstructed in-place after
+        # the re-read so consumers see the identical frame.
+        cols = enriched.columns
+        enriched = _stage_bucketed(
+            spark, enriched.drop("trace_id"), stage_dir, "enriched"
+        )
+        enriched = enriched.withColumn(
+            "trace_id",
+            F.concat(
+                F.lit("trc_"), F.col("conv_id"), F.lit("_"),
+                F.col("trace_num"),
+            ),
+        ).select(*cols)
     elif persist:
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
