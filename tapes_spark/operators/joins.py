@@ -102,55 +102,49 @@ def pair_tool_calls(df: DataFrame) -> DataFrame:
     Returns columns: conv_id, turn_idx (call), tool, call_ts, call_text,
     result_turn_idx, result_ts, result_text, is_error, duration_ms.
 
-    r6 shape: pure windows, no self-join.  After ``call_turn_idx`` (the
-    most recent preceding call, running ``last`` over capture order) the
-    rows of one (conv_id, tool, call_turn_idx) group are exactly [call,
-    result₁, result₂, …], so the call's first result is ``min(struct(
-    turn_idx, ts, text))`` over that group — the struct min orders by
-    turn_idx first, which is the old row_number()-over-turn_idx pick.
-    The previous self-join form shuffled BOTH derivations of the frame on
-    (conv_id, tool, call_turn_idx) and sort-merged them (2 Exchanges + an
-    SMJ per pass); this form is two sorts over the already conv_id-
-    clustered input, zero joins and zero exchanges.  Only the five
-    consumed columns enter the window sorts (project-early, guide §2.3).
+    r6 shape: ONE window, no self-join, no second sort.  In the filtered
+    (conv_id, tool) stream — only this tool's calls and results, ordered
+    by turn_idx — every result belongs to the most recent preceding call,
+    so a call's FIRST result (when it has one) is always the row
+    IMMEDIATELY after it: any other same-tool call in between would own
+    that result instead, and a result before any call can never directly
+    follow a call.  ``lead(struct(...))``, gated on the led row being a
+    result, therefore equals the old min-struct-over-group pick exactly.
+    The previous forms cost either 2 Exchanges + a SortMergeJoin
+    (self-join, r5) or two window sorts — (conv, tool, turn_idx) then
+    (conv, tool, call_turn_idx) — per pass (early r6); this is one sort
+    over the already conv_id-clustered input.  Only the five consumed
+    columns enter the window sort (project-early, guide §2.3).
     """
-    w = (
-        Window.partitionBy("conv_id", "tool")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     call = is_tool_call()
+    lw = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    nxt = F.lead(
+        F.struct(
+            F.col("role").alias("_role"),
+            F.col("turn_idx").alias("result_turn_idx"),
+            F.col("ts").alias("result_ts"),
+            F.col("text").alias("result_text"),
+        )
+    ).over(lw)
     marked = (
         df.filter((F.col("tool") != "") & (call | (F.col("role") == "tool")))
         .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
-        .withColumn(
-            "call_turn_idx", F.last(F.when(call, F.col("turn_idx")), True).over(w)
-        )
+        .withColumn("_first_res", nxt)
     )
-    gw = Window.partitionBy("conv_id", "tool", "call_turn_idx")
-    is_res = (F.col("role") == "tool") & F.col("call_turn_idx").isNotNull()
-    first_res = F.min(
-        F.when(
-            is_res,
-            F.struct(
-                F.col("turn_idx").alias("result_turn_idx"),
-                F.col("ts").alias("result_ts"),
-                F.col("text").alias("result_text"),
-            ),
-        )
-    ).over(gw)
+    first_res = F.when(
+        F.col("_first_res._role") == "tool", F.col("_first_res")
+    )
     paired = (
-        marked.withColumn("_first_res", first_res)
-        .filter(call)
+        marked.filter(call)
         .select(
             "conv_id",
             "turn_idx",
             "tool",
             F.col("ts").alias("call_ts"),
             F.col("text").alias("call_text"),
-            F.col("_first_res.result_turn_idx").alias("result_turn_idx"),
-            F.col("_first_res.result_ts").alias("result_ts"),
-            F.col("_first_res.result_text").alias("result_text"),
+            first_res["result_turn_idx"].alias("result_turn_idx"),
+            first_res["result_ts"].alias("result_ts"),
+            first_res["result_text"].alias("result_text"),
         )
     )
     return (

@@ -98,7 +98,6 @@ def build_enriched(
     quarantined = flagged.filter(F.col("drop_reason").isNotNull())
     valid = flagged.filter(F.col("drop_reason").isNull()).drop("drop_reason")
 
-    parsed = with_parsed_features(valid)
     # split-union so the Arrow round-trip ships ONLY tagged rows (~10% of
     # real traffic): ArrowEvalPython evaluates unconditionally per row, so
     # a when()-gate would not avoid the transfer — a filter does.
@@ -113,7 +112,7 @@ def build_enriched(
     # anyway, so its partitioning is free to collapse (guide §4.1/§6).
     n_slots = max(1, spark.sparkContext.defaultParallelism)
     tagged = (
-        parsed.filter(maybe_tagged)
+        valid.filter(maybe_tagged)
         .coalesce(n_slots)
         .withColumn("text_norm", text_norm)
         .withColumn("text_preview", F.substring(text_preview, 1, 120))
@@ -126,12 +125,22 @@ def build_enriched(
     # to substring(text_norm, 1, 120)).  The column was ~25% of the
     # staged bytes and of the wide exchange (r6, guide §2.3).
     plain = (
-        parsed.filter(~maybe_tagged)
+        valid.filter(~maybe_tagged)
         .withColumn("text_norm", ws_only)
         .withColumn("text_preview", F.lit(None).cast("string"))
     )
     normalized = tagged.unionByName(plain)
-    classified = with_call_kind(normalized)
+    # Parse AFTER the union (r6): the branches consume only raw `text`
+    # (the contains('<') split + normalization), so the 15-expression
+    # parse projection does not belong in the scan+normalize codegen
+    # stage.  Fused there, the generated stage method exceeded HotSpot's
+    # 8000-bytecode JIT ceiling (session.py hugeMethodLimit note) and the
+    # WHOLE stage — scan, filters, whitespace chain AND parse — ran
+    # interpreted on both branches.  Hoisting parse above the union keeps
+    # the per-branch methods JIT-compiled and runs parse once per row in
+    # its own stage (union children are separate codegen groups).
+    parsed = with_parsed_features(normalized)
+    classified = with_call_kind(parsed)
     # static dims as literal-map lookups: two BroadcastHashJoins (and
     # their dim-side jobs + broadcast exchanges) fold into the map
     # stage's whole-stage codegen (r6; parity vs the join path is gated
