@@ -114,6 +114,7 @@ def ivf_train(
     """
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
+    full = embeddings
     if train_fraction < 1.0:
         denom = 1_000_000
         embeddings = embeddings.filter(
@@ -126,11 +127,42 @@ def ivf_train(
     # the corpus parquet, re-applies the sample filter and re-shuffles —
     # (n_iters + 1) scans instead of one (r6; an intra-query
     # intermediate, released before returning)
-    vecs = (
+    cached = (
         embeddings.select(id_col, vec_col)
         .repartition(n_parts, id_col)
         .persist()
     )
+    vecs = cached
+    # size-adaptive task count (guide §2: derive parallelism from input
+    # size, not a constant): the count() both materializes the cache (a
+    # pass the init scan paid anyway) and guards the sampled-train
+    # contract — with train_fraction < 1 a small corpus can yield fewer
+    # sample rows than centroids, which previously surfaced as an opaque
+    # np.stack error.  A tiny train set then folds in a few tasks
+    # instead of paying defaultParallelism python-worker round-trips per
+    # Lloyd iteration (~0.1 s/job of pure task overhead at 32 cores on a
+    # 2k-row table); a large one keeps full parallelism.
+    n_train = cached.count()
+    if n_train < n_clusters and train_fraction < 1.0:
+        # an undersized hash sample would silently break the documented
+        # n_clusters x dim quantizer shape (or hit an opaque np.stack
+        # error when empty) — fall back to the full corpus, which is
+        # small by implication (the clamp-to-corpus-size behavior for a
+        # genuinely tiny FULL corpus is the documented contract and
+        # remains below)
+        cached.unpersist()
+        cached = (
+            full.select(id_col, vec_col)
+            .repartition(n_parts, id_col)
+            .persist()
+        )
+        vecs = cached
+        n_train = cached.count()
+    rows_per_task = 10_000
+    n_adaptive = min(n_parts, max(1, -(-n_train // rows_per_task)))
+    if n_adaptive < n_parts:
+        # narrow (no shuffle), reads the cached blocks
+        vecs = cached.coalesce(n_adaptive)
     centroids = ivf_init_centroids(vecs, n_clusters, seed, vec_col, id_col)
     partial_schema = StructType(
         [
@@ -189,7 +221,7 @@ def ivf_train(
         nonempty = counts > 0
         centroids = centroids.copy()
         centroids[nonempty] = _normalized(sums[nonempty])
-    vecs.unpersist()
+    cached.unpersist()
     return centroids
 
 
@@ -263,6 +295,15 @@ def ivf_topk(
     sort.  Recall vs brute force is pytest-gated like the LSH path.
     """
     probes = probe_clusters(query_vec, centroids, nprobe)
+    if len(probes) >= len(centroids):
+        # Exhaustive probe (nprobe >= n_clusters): every vector's cluster
+        # is in the probe set by construction, so the assignment pass +
+        # candidate semi-join is a provable no-op — re-rank the corpus
+        # directly (the same elimination FAISS applies at nprobe=nlist).
+        # The pruned path below is unchanged and stays recall-gated by
+        # tests/test_ann_ivf.py; the persisted-index path (IvfIndexTape)
+        # always materializes assignments.
+        return brute_cosine_topk(embeddings, query_vec, k, vec_col, id_col)
     assigned = ivf_assignments(embeddings, centroids, vec_col, id_col)
     candidate_ids = assigned.filter(
         F.col("cluster").isin([int(p) for p in probes])
