@@ -244,17 +244,37 @@ def run_pipeline(
         # reconstitute with one concat (guide §2.3: stage keys and
         # metadata, not derivable payloads).  Reconstructed in-place after
         # the re-read so consumers see the identical frame.
+        #
+        # Likewise text_norm: on the rows whose raw `text` the keep_raw
+        # diet retains (tool results, tool calls, checks, titles), the
+        # normalization is a byte-identical copy ~99% of the time
+        # (measured: 47.5 MB of 144 MB text_norm on a quarter corpus) —
+        # store NULL there and reconstitute with one coalesce.  NULL is
+        # unambiguous: text_norm is never semantically null on valid rows,
+        # so NULL can only mean "equal to the kept text".
         cols = enriched.columns
-        enriched = _stage_bucketed(
-            spark, enriched.drop("trace_id"), stage_dir, "enriched"
+        diet = enriched.withColumn(
+            "text_norm",
+            F.when(
+                F.col("text") == F.col("text_norm"), F.lit(None).cast("string")
+            ).otherwise(F.col("text_norm")),
         )
-        enriched = enriched.withColumn(
-            "trace_id",
-            F.concat(
-                F.lit("trc_"), F.col("conv_id"), F.lit("_"),
-                F.col("trace_num"),
-            ),
-        ).select(*cols)
+        enriched = _stage_bucketed(
+            spark, diet.drop("trace_id"), stage_dir, "enriched"
+        )
+        enriched = (
+            enriched.withColumn(
+                "trace_id",
+                F.concat(
+                    F.lit("trc_"), F.col("conv_id"), F.lit("_"),
+                    F.col("trace_num"),
+                ),
+            )
+            .withColumn(
+                "text_norm", F.coalesce(F.col("text_norm"), F.col("text"))
+            )
+            .select(*cols)
+        )
     elif persist:
         enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
