@@ -277,3 +277,25 @@ class TestSampledTrain:
             train_fraction=0.5,
         )
         assert np.allclose(idx2.load_centroids(), want)
+
+
+class TestSampledTrainFallback:
+    def test_undersized_sample_falls_back_to_full_corpus(self, spark, corpus):
+        """train_fraction guard (r6, advice item): a hash sample with
+        fewer rows than n_clusters must not silently shrink the quantizer
+        — training falls back to the full corpus and keeps the documented
+        n_clusters x dim shape."""
+        tiny = corpus.limit(40)
+        # fraction small enough that the deterministic hash sample of 40
+        # rows is very likely < 16 rows; the guard re-trains on all 40
+        cents = ann_ivf.ivf_train(
+            tiny, n_clusters=N_CLUSTERS, n_iters=2, seed=42,
+            train_fraction=0.05,
+        )
+        dim = len(corpus.select("embedding").first()[0])
+        assert cents.shape == (N_CLUSTERS, dim)
+        # and the fallback is deterministic: same result as full train
+        full = ann_ivf.ivf_train(
+            tiny, n_clusters=N_CLUSTERS, n_iters=2, seed=42,
+        )
+        assert np.array_equal(cents, full)

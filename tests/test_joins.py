@@ -60,6 +60,31 @@ class TestPairToolCalls:
         assert df.select("conv_id", "turn_idx").distinct().count() == 4
 
 
+
+
+    def test_consecutive_same_tool_calls_and_orphan_result(self, spark):
+        """Edge cases the lead-based single-window pairing (r6) must hold:
+        a result directly follows ITS call in the per-(conv, tool) stream,
+        so an interposed same-tool call steals the pairing (call1 stays
+        unpaired) and an orphan result before any call pairs nothing."""
+        rows = [
+            # orphan result before any call of its tool
+            ("E", 0, "tool", "ok: orphan", "Bash", _ts(0)),
+            # call1 -> call2 -> result: result belongs to call2 only
+            ("E", 1, "assistant", "Using tool Bash: one", "Bash", _ts(1)),
+            ("E", 2, "assistant", "Using tool Bash: two", "Bash", _ts(2)),
+            ("E", 3, "tool", "ok: for two", "Bash", _ts(3)),
+        ]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        got = {
+            r["turn_idx"]: r["result_turn_idx"]
+            for r in pair_tool_calls(df).collect()
+        }
+        assert got == {1: None, 2: 3}
+
+
 class TestFirstCapture:
     def test_ordered_first_wins(self, spark):
         rows = [
