@@ -114,7 +114,6 @@ def ivf_train(
     """
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
-    full = embeddings
     if train_fraction < 1.0:
         denom = 1_000_000
         embeddings = embeddings.filter(
@@ -144,20 +143,22 @@ def ivf_train(
     # 2k-row table); a large one keeps full parallelism.
     n_train = cached.count()
     if n_train < n_clusters and train_fraction < 1.0:
-        # an undersized hash sample would silently break the documented
+        # An undersized hash sample would silently break the documented
         # n_clusters x dim quantizer shape (or hit an opaque np.stack
-        # error when empty) — fall back to the full corpus, which is
-        # small by implication (the clamp-to-corpus-size behavior for a
-        # genuinely tiny FULL corpus is the documented contract and
-        # remains below)
+        # error when empty).  Raise a CLEAR error instead of silently
+        # retraining on the full corpus: train_fraction exists to bound
+        # train cost, and a silent full-corpus Lloyd run at scale is the
+        # exact cost surprise the knob guards against (the caller can
+        # widen the fraction or pass 1.0 explicitly).  The
+        # clamp-to-corpus-size behavior for a genuinely tiny FULL corpus
+        # is unchanged below.
         cached.unpersist()
-        cached = (
-            full.select(id_col, vec_col)
-            .repartition(n_parts, id_col)
-            .persist()
+        raise ValueError(
+            f"IVF train sample has {n_train} rows < n_clusters="
+            f"{n_clusters} (train_fraction={train_fraction} sampled too "
+            "few rows; widen it or pass train_fraction=1.0 to train on "
+            "the full corpus)"
         )
-        vecs = cached
-        n_train = cached.count()
     rows_per_task = 10_000
     n_adaptive = min(n_parts, max(1, -(-n_train // rows_per_task)))
     if n_adaptive < n_parts:

@@ -415,32 +415,22 @@ def verify_jaccard(
     # 4dp-ROUNDED jaccard, so leave that half-ulp of slack here.
     t_eff = threshold - 0.00005
     size_compatible = (n1 >= F.lit(t_eff) * n2) & (n2 >= F.lit(t_eff) * n1)
-    joined = (
-        candidates.join(t1, "doc1").join(t2, "doc2").filter(size_compatible)
-    )
-    # The threshold filter must NOT push through the projection computing
-    # `shared`: pushed into the join's post-condition, Catalyst duplicates
-    # the intersect (condition + output projection — per-pair hash-set
-    # build twice or thrice over).  A nondeterministic sentinel column
-    # makes the projection a pushdown barrier, so the intersect runs
-    # exactly once per candidate pair (measured ~25% off the dense-corpus
-    # verify at 32 cores); the sentinel itself is never output.
-    proj = joined.select(
-        "doc1",
-        "doc2",
-        n1.alias("_n1"),
-        n2.alias("_n2"),
-        F.size(F.array_intersect("toks1", "toks2")).alias("shared"),
-        F.monotonically_increasing_id().alias("_mid"),
-    )
+    # NOTE (r6): a nondeterministic-sentinel "pushdown barrier" variant
+    # meant to single-evaluate the intersect was tried and reverted — the
+    # optimizer prunes the unused sentinel and pushes the threshold
+    # filter into the join either way (both plans carry 3 array_intersect
+    # occurrences; alternating warm A/B identical within noise).  The
+    # duplication is bounded by Catalyst's own CSE at runtime; keep the
+    # straightforward form.
+    shared = F.size(F.array_intersect("toks1", "toks2"))
     return (
-        proj.withColumn(
+        candidates.join(t1, "doc1")
+        .join(t2, "doc2")
+        .filter(size_compatible)
+        .withColumn("shared", shared)
+        .withColumn(
             "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("_n1") + F.col("_n2") - F.col("shared")),
-                4,
-            ),
+            F.round(F.col("shared") / (n1 + n2 - F.col("shared")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")

@@ -117,7 +117,17 @@ def pair_tool_calls(df: DataFrame) -> DataFrame:
     columns enter the window sort (project-early, guide §2.3).
     """
     call = is_tool_call()
-    lw = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    # src_conv_id tie-break (same convention as with_first_capture /
+    # cluster_sorted): a conv-merging correction can collide two rows on
+    # (conv_id, turn_idx), and lead() adjacency — unlike the old
+    # order-independent min-over-group — would otherwise pick a
+    # shuffle-order-dependent neighbor on such rows
+    order = [F.col("turn_idx")]
+    extra_cols = []
+    if "src_conv_id" in df.columns:
+        order.append(F.col("src_conv_id"))
+        extra_cols.append("src_conv_id")
+    lw = Window.partitionBy("conv_id", "tool").orderBy(*order)
     nxt = F.lead(
         F.struct(
             F.col("role").alias("_role"),
@@ -128,7 +138,8 @@ def pair_tool_calls(df: DataFrame) -> DataFrame:
     ).over(lw)
     marked = (
         df.filter((F.col("tool") != "") & (call | (F.col("role") == "tool")))
-        .select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+        .select("conv_id", "turn_idx", "role", "tool", "ts", "text",
+                *extra_cols)
         .withColumn("_first_res", nxt)
     )
     first_res = F.when(

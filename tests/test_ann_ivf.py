@@ -81,13 +81,29 @@ class TestAssignments:
 class TestSearch:
     def test_exhaustive_probe_equals_brute(self, corpus, centroids, qvec):
         """nprobe == n_clusters prunes nothing, so the IVF path must
-        reproduce the exact brute-force top-k bit-for-bit (same re-rank
-        expression, same tie-break)."""
+        reproduce the exact brute-force top-k bit-for-bit.  ivf_topk now
+        ELIMINATES the no-op assignment pass at nprobe >= n_clusters, so
+        to keep a bit-exactness gate on the assignment + candidate
+        semi-join + re-rank machinery this test drives that path
+        explicitly (the un-shortcut composition) as well as the public
+        entry."""
+        from pyspark.sql import functions as F
+
         brute = brute_cosine_topk(corpus, qvec, k=10).collect()
         ivf = ann_ivf.ivf_topk(
             corpus, qvec, centroids, k=10, nprobe=N_CLUSTERS
         ).collect()
         assert [r.asDict() for r in ivf] == [r.asDict() for r in brute]
+        # un-shortcut machinery: filter candidates through the assignment
+        # frame for ALL probes and re-rank — must still equal brute force
+        probes = ann_ivf.probe_clusters(qvec, centroids, N_CLUSTERS)
+        assigned = ann_ivf.ivf_assignments(corpus, centroids)
+        candidate_ids = assigned.filter(
+            F.col("cluster").isin([int(x) for x in probes])
+        ).select("vec_id")
+        candidates = corpus.join(candidate_ids, "vec_id", "left_semi")
+        manual = brute_cosine_topk(candidates, qvec, k=10).collect()
+        assert [r.asDict() for r in manual] == [r.asDict() for r in brute]
 
     def test_pruned_probe_recall(self, corpus, centroids, qvec):
         """At nprobe=8/16 the pruned search must keep >=50% of the true
@@ -279,23 +295,19 @@ class TestSampledTrain:
         assert np.allclose(idx2.load_centroids(), want)
 
 
-class TestSampledTrainFallback:
-    def test_undersized_sample_falls_back_to_full_corpus(self, spark, corpus):
+class TestSampledTrainGuard:
+    def test_undersized_sample_raises_clearly(self, spark, corpus):
         """train_fraction guard (r6, advice item): a hash sample with
         fewer rows than n_clusters must not silently shrink the quantizer
-        — training falls back to the full corpus and keeps the documented
-        n_clusters x dim shape."""
+        (or silently retrain on the full corpus, defeating the bounded
+        train-cost contract) — it raises a clear error naming the knob."""
         tiny = corpus.limit(40)
-        # fraction small enough that the deterministic hash sample of 40
-        # rows is very likely < 16 rows; the guard re-trains on all 40
-        cents = ann_ivf.ivf_train(
-            tiny, n_clusters=N_CLUSTERS, n_iters=2, seed=42,
-            train_fraction=0.05,
-        )
+        with pytest.raises(ValueError, match="train_fraction"):
+            ann_ivf.ivf_train(
+                tiny, n_clusters=N_CLUSTERS, n_iters=2, seed=42,
+                train_fraction=0.05,
+            )
+        # the documented clamp for a genuinely tiny FULL corpus remains
+        cents = ann_ivf.ivf_train(tiny, n_clusters=N_CLUSTERS, n_iters=2)
         dim = len(corpus.select("embedding").first()[0])
         assert cents.shape == (N_CLUSTERS, dim)
-        # and the fallback is deterministic: same result as full train
-        full = ann_ivf.ivf_train(
-            tiny, n_clusters=N_CLUSTERS, n_iters=2, seed=42,
-        )
-        assert np.array_equal(cents, full)

@@ -77,28 +77,34 @@ def _valid():
     return flagged.filter(F.col("drop_reason").isNull()).drop("drop_reason")
 
 
-def frag_parse():
-    noop(with_parsed_features(_valid()))
-
-
-def _normalized():
-    parsed = with_parsed_features(_valid())
+def _tagged_branch():
+    # mirrors build_enriched's CURRENT shape: the branches consume only
+    # raw text (parse runs AFTER the union since r6 commit afa8f58 —
+    # keeping this ladder in sync with pipeline.py matters, or it
+    # profiles a plan the pipeline no longer runs)
     maybe_tagged = F.coalesce(F.col("text").contains("<"), F.lit(False))
     text_norm, text_preview = normalized_and_preview_cols(F.col("text"))
     n_slots = max(1, sc.defaultParallelism)
-    tagged = (
-        parsed.filter(maybe_tagged)
+    return (
+        _valid().filter(maybe_tagged)
         .coalesce(n_slots)
         .withColumn("text_norm", text_norm)
         .withColumn("text_preview", F.substring(text_preview, 1, 120))
     )
+
+
+def _plain_branch():
+    maybe_tagged = F.coalesce(F.col("text").contains("<"), F.lit(False))
     ws_only = normalize_whitespace_col(F.col("text"))
-    plain = (
-        parsed.filter(~maybe_tagged)
+    return (
+        _valid().filter(~maybe_tagged)
         .withColumn("text_norm", ws_only)
         .withColumn("text_preview", F.lit(None).cast("string"))
     )
-    return tagged.unionByName(plain)
+
+
+def _normalized():
+    return _tagged_branch().unionByName(_plain_branch())
 
 
 def frag_normalize():
@@ -106,33 +112,19 @@ def frag_normalize():
 
 
 def frag_tagged_branch():
-    parsed = with_parsed_features(_valid())
-    maybe_tagged = F.coalesce(F.col("text").contains("<"), F.lit(False))
-    text_norm, text_preview = normalized_and_preview_cols(F.col("text"))
-    n_slots = max(1, sc.defaultParallelism)
-    tagged = (
-        parsed.filter(maybe_tagged)
-        .coalesce(n_slots)
-        .withColumn("text_norm", text_norm)
-        .withColumn("text_preview", F.substring(text_preview, 1, 120))
-    )
-    noop(tagged)
+    noop(_tagged_branch())
 
 
 def frag_plain_branch():
-    parsed = with_parsed_features(_valid())
-    maybe_tagged = F.coalesce(F.col("text").contains("<"), F.lit(False))
-    ws_only = normalize_whitespace_col(F.col("text"))
-    plain = (
-        parsed.filter(~maybe_tagged)
-        .withColumn("text_norm", ws_only)
-        .withColumn("text_preview", F.lit(None).cast("string"))
-    )
-    noop(plain)
+    noop(_plain_branch())
+
+
+def frag_parse():
+    noop(with_parsed_features(_normalized()))
 
 
 def _enriched_pre_exchange():
-    classified = with_call_kind(_normalized())
+    classified = with_call_kind(with_parsed_features(_normalized()))
     enriched = enrich_pricing_static(enrich_role_static(classified))
     keep_raw = (
         (F.col("role") == "tool")
@@ -170,10 +162,10 @@ def frag_full_stage():
 FRAGS = [
     ("scan", frag_scan),
     ("dropreason", frag_dropreason),
-    ("parse", frag_parse),
     ("tagged_branch", frag_tagged_branch),
     ("plain_branch", frag_plain_branch),
     ("normalize_union", frag_normalize),
+    ("parse", frag_parse),
     ("classify_enrich", frag_classify_enrich),
     ("exchange_windows", frag_exchange_windows),
     ("full_stage_writes", frag_full_stage),
